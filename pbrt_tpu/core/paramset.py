@@ -368,8 +368,8 @@ class TextureParams:
         from pbrt_tpu.textures.constant import ConstantTexture
 
         for ps in (self.geom_params, self.material_params):
-            tex_name = ps.find_one_texture(name, "")
-            if tex_name:
+            if ps.kind_of(name) == TEXTURE:
+                tex_name = ps.find_one_texture(name, "")
                 tex = self.spectrum_textures.get(tex_name)
                 if tex is not None:
                     return tex
@@ -385,8 +385,8 @@ class TextureParams:
         from pbrt_tpu.textures.constant import ConstantTexture
 
         for ps in (self.geom_params, self.material_params):
-            tex_name = ps.find_one_texture(name, "")
-            if tex_name:
+            if ps.kind_of(name) == TEXTURE:
+                tex_name = ps.find_one_texture(name, "")
                 tex = self.float_textures.get(tex_name)
                 if tex is not None:
                     return tex
@@ -399,8 +399,8 @@ class TextureParams:
         from pbrt_tpu.textures.constant import ConstantTexture
 
         for ps in (self.geom_params, self.material_params):
-            tex_name = ps.find_one_texture(name, "")
-            if tex_name:
+            if ps.kind_of(name) == TEXTURE:
+                tex_name = ps.find_one_texture(name, "")
                 tex = self.float_textures.get(tex_name)
                 if tex is not None:
                     return tex

@@ -1,0 +1,246 @@
+"""Wavefront path integrator with NEE + MIS (pbrt-v3 §14.5 semantics).
+
+Megabatch design: the bounce loop is unrolled at trace time (max_depth is
+static), every lane carries (throughput, radiance, alive) and dead lanes
+are masked, not compacted — XLA keeps the whole batch dense on the VPU/MXU.
+Sample dimensions are allocated statically per bounce so every sampler
+value is a pure function of (pixel, sample index, dimension).
+
+Dimension layout:
+  0,1  film jitter     2,3  lens        4  (time, reserved)
+  per bounce b, base = 5 + 7*b:
+    +0 light select    +1,+2 light u2   +3 lobe select
+    +4,+5 bsdf u2      +6 russian roulette
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pbrt_tpu import float_t
+from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+from pbrt_tpu.core.sampling import power_heuristic
+from pbrt_tpu.materials import eval_material_params
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu.scene.builder import compute_interaction
+
+SHADOW_EPS = 1e-3
+INF_T = 1e8
+
+
+def _to_local(ns, ss, ts, v):
+    return jnp.stack(
+        [jnp.sum(v * ss, axis=-1), jnp.sum(v * ts, axis=-1), jnp.sum(v * ns, axis=-1)],
+        axis=-1,
+    )
+
+
+def _to_world(ns, ss, ts, v):
+    return (
+        v[..., 0:1] * ss + v[..., 1:2] * ts + v[..., 2:3] * ns
+    )
+
+
+class PathIntegrator:
+    def __init__(self, compiled, max_depth=5, rr_threshold=1.0):
+        self.c = compiled
+        self.max_depth = int(max_depth)
+        self.rr_threshold = float(rr_threshold)
+
+    # -- light plumbing ----------------------------------------------------
+
+    def _env_radiance(self, d):
+        le = jnp.zeros(d.shape[:-1] + (3,), dtype=d.dtype)
+        for lt in self.c.lights:
+            if lt.is_infinite:
+                le = le + lt.le_escaped(d)
+        return le
+
+    def _env_pdf(self, p, d):
+        """Combined light-strategy pdf that BSDF-sampled dir d escapes into
+        an infinite light (for MIS)."""
+        n_lights = len(self.c.lights)
+        if n_lights == 0:
+            return jnp.zeros(p.shape[:-1], dtype=p.dtype)
+        pdf = jnp.zeros(p.shape[:-1], dtype=p.dtype)
+        for lt in self.c.lights:
+            if lt.is_infinite:
+                pdf = pdf + lt.pdf_li(p, d)
+        return pdf / n_lights
+
+    def _emitted(self, si, wo):
+        """Area-light emission toward wo at hit points."""
+        n = wo.shape[0]
+        le = jnp.zeros((n, 3), dtype=wo.dtype)
+        for i, al in enumerate(self.c.area_lights):
+            mask = si["light"] == i
+            lv = al.l_emitted(si["ng"], wo)
+            le = jnp.where(mask[..., None], lv, le)
+        return le
+
+    def _area_light_pdf(self, prev_p, si, d):
+        """pdf that NEE would have sampled this hit point, per lane."""
+        n_lights = len(self.c.lights)
+        n = d.shape[0]
+        pdf = jnp.zeros((n,), dtype=d.dtype)
+        if n_lights == 0:
+            return pdf
+        for i, al in enumerate(self.c.area_lights):
+            mask = si["light"] == i
+            pv = al.pdf_li_at_hit(prev_p, si["p"], si["ng"], d)
+            pdf = jnp.where(mask, pv, pdf)
+        return pdf / n_lights
+
+    def _sample_one_light(self, p, u_sel, u2):
+        """Uniformly pick a light; returns (wi, li, pdf, dist, is_delta)."""
+        n = p.shape[0]
+        dt = p.dtype
+        n_lights = len(self.c.lights)
+        wi = jnp.zeros((n, 3), dtype=dt)
+        li = jnp.zeros((n, 3), dtype=dt)
+        pdf = jnp.zeros((n,), dtype=dt)
+        dist = jnp.full((n,), INF_T, dtype=dt)
+        delta = jnp.zeros((n,), dtype=bool)
+        if n_lights == 0:
+            return wi, li, pdf, dist, delta
+        pick = jnp.minimum(
+            (u_sel * n_lights).astype(jnp.int32), n_lights - 1
+        )
+        for i, lt in enumerate(self.c.lights):
+            mask = pick == i
+            wi_i, li_i, pdf_i, dist_i = lt.sample_li(p, u2)
+            wi = jnp.where(mask[..., None], wi_i, wi)
+            li = jnp.where(mask[..., None], li_i, li)
+            pdf = jnp.where(mask, pdf_i, pdf)
+            dist = jnp.where(mask, dist_i, dist)
+            delta = jnp.where(mask, lt.is_delta, delta)
+        # selection pdf folds in
+        pdf = pdf / n_lights
+        return wi, li, pdf, dist, delta
+
+    # -- main --------------------------------------------------------------
+
+    def li(self, sampler, pixel_xy, sample_index, o, d):
+        """Trace radiance for a wavefront of camera rays.
+
+        pixel_xy [N,2] int; sample_index [N]; o,d [N,3] world rays.
+        Returns L [N,3].
+        """
+        c = self.c
+        n = o.shape[0]
+        dt = o.dtype
+        L = jnp.zeros((n, 3), dtype=dt)
+        beta = jnp.ones((n, 3), dtype=dt)
+        alive = jnp.ones((n,), dtype=bool)
+        specular_bounce = jnp.ones((n,), dtype=bool)  # camera "bounce"
+        prev_bsdf_pdf = jnp.ones((n,), dtype=dt)
+        prev_p = o
+
+        for bounce in range(self.max_depth):
+            base = 5 + 7 * bounce
+            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
+
+            # --- escaped rays: environment radiance with MIS -------------
+            esc = alive & ~hit["hit"]
+            env_le = self._env_radiance(d)
+            light_pdf = self._env_pdf(prev_p, d)
+            w_env = jnp.where(
+                specular_bounce,
+                1.0,
+                power_heuristic(1, prev_bsdf_pdf, 1, light_pdf),
+            )
+            L = L + jnp.where(esc[..., None], beta * env_le * w_env[..., None], 0.0)
+            alive = alive & hit["hit"]
+
+            # --- surface interaction -------------------------------------
+            si = compute_interaction(c.tables, hit, o, d)
+            wo = si["wo"]
+
+            # --- emitted radiance at hit (area lights) with MIS ----------
+            if c.area_lights:
+                le_hit = self._emitted(si, wo)
+                al_pdf = self._area_light_pdf(prev_p, si, d)
+                w_le = jnp.where(
+                    specular_bounce,
+                    1.0,
+                    power_heuristic(1, prev_bsdf_pdf, 1, al_pdf),
+                )
+                L = L + jnp.where(
+                    alive[..., None], beta * le_hit * w_le[..., None], 0.0
+                )
+
+            if bounce == self.max_depth - 1:
+                break
+
+            # --- shading frame + material params -------------------------
+            ns = vface_forward(si["ns"], wo)
+            ss, ts = coordinate_system(ns)
+            wo_l = _to_local(ns, ss, ts, wo)
+            params = eval_material_params(c.materials, si["mat"], si)
+            alive = alive & (si["mat"] >= 0) & (params["type"] != B.NONE)
+
+            # --- next-event estimation -----------------------------------
+            if c.lights:
+                u_sel = sampler.get(pixel_xy, sample_index, base + 0)
+                u_l = sampler.get2(pixel_xy, sample_index, base + 1)
+                wi_w, li, l_pdf, l_dist, l_delta = self._sample_one_light(
+                    si["p"], u_sel, u_l
+                )
+                wi_l = _to_local(ns, ss, ts, wi_w)
+                f = B.bsdf_eval(params, wo_l, wi_l)
+                b_pdf = B.bsdf_pdf(params, wo_l, wi_l)
+                can = alive & (l_pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+                shadow_o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
+                    jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
+                )
+                occluded = c.intersector.occluded(
+                    shadow_o, wi_w, l_dist - 2 * SHADOW_EPS
+                )
+                vis = can & ~occluded
+                w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))
+                contrib = (
+                    beta
+                    * f
+                    * li
+                    * (jnp.abs(wi_l[..., 2]) * w_l / jnp.maximum(l_pdf, 1e-12))[
+                        ..., None
+                    ]
+                )
+                L = L + jnp.where(vis[..., None], contrib, 0.0)
+
+            # --- BSDF sampling -------------------------------------------
+            u_lobe = sampler.get(pixel_xy, sample_index, base + 3)
+            u_b = sampler.get2(pixel_xy, sample_index, base + 4)
+            wi_l, f, pdf, spec = B.bsdf_sample(params, wo_l, u_lobe, u_b)
+            wi_w = _to_world(ns, ss, ts, wi_l)
+            ok = alive & (pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            beta = jnp.where(
+                ok[..., None],
+                beta * f * (jnp.abs(wi_l[..., 2]) / jnp.maximum(pdf, 1e-12))[..., None],
+                beta,
+            )
+            alive = ok
+            prev_p = si["p"]
+            prev_bsdf_pdf = pdf
+            specular_bounce = spec
+            o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
+                jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
+            )
+            d = wi_w
+
+            # --- russian roulette ----------------------------------------
+            if bounce > 3:
+                max_beta = jnp.max(beta, axis=-1)
+                q = jnp.maximum(0.05, 1.0 - max_beta)
+                u_rr = sampler.get(pixel_xy, sample_index, base + 6)
+                survive = u_rr >= q
+                beta = jnp.where(
+                    (alive & survive)[..., None],
+                    beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                    beta,
+                )
+                alive = alive & survive
+
+        return L

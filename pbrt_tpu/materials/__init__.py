@@ -1,0 +1,212 @@
+"""Material table: pbrt material records -> per-lane BSDF parameters.
+
+pbrt-v3's 15 material plugins reduce on TPU to a compact lobe-parameter
+space (see materials/bsdf.py): every material fills slots
+(kd/ks/kr/kt/roughness/eta/metal_eta/metal_k/sigma) via textures, and a
+type id selects the lobe combination.  Scene build produces a list of
+:class:`MaterialEntry`; at shading time :func:`eval_material_params`
+evaluates each entry's textures across the wavefront and mask-selects into
+SoA parameter arrays.  Materials with only constant textures cost a single
+gather.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pbrt_tpu import float_t
+from pbrt_tpu.core.paramset import TextureParams
+from pbrt_tpu.materials import bsdf as B
+
+log = logging.getLogger("pbrt_tpu")
+
+# copper (pbrt-v3 metal default) converted to RGB
+COPPER_ETA = np.array([0.200438, 0.924033, 1.10221], dtype=np.float64)
+COPPER_K = np.array([3.91295, 2.44763, 2.14219], dtype=np.float64)
+
+
+@dataclass
+class MaterialEntry:
+    type_id: int
+    textures: Dict[str, object] = field(default_factory=dict)  # slot -> Texture
+    remap_roughness: bool = True
+    metal_eta: np.ndarray = None
+    metal_k: np.ndarray = None
+    eta_const: float = 1.5
+
+
+_SPECTRUM_SLOTS = ("kd", "ks", "kr", "kt")
+_FLOAT_SLOTS = ("roughness", "sigma", "eta_tex", "opacity")
+
+
+def build_material(record) -> MaterialEntry:
+    """MaterialRecord (core/api.py) -> MaterialEntry."""
+    tp = TextureParams(
+        record.params,
+        record.params,
+        record.float_textures,
+        record.spectrum_textures,
+    )
+    name = record.name
+    gray = lambda v: np.full(3, v, dtype=float_t)
+
+    def spec_tex(pname, default):
+        return tp.get_spectrum_texture(pname, gray(default))
+
+    def float_tex(pname, default):
+        return tp.get_float_texture(pname, default)
+
+    if name in ("", "none"):
+        return MaterialEntry(B.NONE)
+    if name == "matte":
+        return MaterialEntry(
+            B.MATTE,
+            {"kd": spec_tex("Kd", 0.5), "sigma": float_tex("sigma", 0.0)},
+        )
+    if name == "mirror":
+        return MaterialEntry(B.MIRROR, {"kr": spec_tex("Kr", 0.9)})
+    if name == "glass":
+        e = MaterialEntry(
+            B.GLASS,
+            {
+                "kr": spec_tex("Kr", 1.0),
+                "kt": spec_tex("Kt", 1.0),
+                "roughness": float_tex("uroughness", 0.0),
+            },
+        )
+        e.eta_const = tp.find_float("eta", tp.find_float("index", 1.5))
+        return e
+    if name == "plastic":
+        e = MaterialEntry(
+            B.PLASTIC,
+            {
+                "kd": spec_tex("Kd", 0.25),
+                "ks": spec_tex("Ks", 0.25),
+                "roughness": float_tex("roughness", 0.1),
+            },
+            remap_roughness=tp.find_bool("remaproughness", True),
+        )
+        return e
+    if name == "metal":
+        e = MaterialEntry(
+            B.METAL,
+            {"roughness": float_tex("roughness", 0.01)},
+            remap_roughness=tp.find_bool("remaproughness", True),
+        )
+        e.metal_eta = np.asarray(tp.find_spectrum("eta", COPPER_ETA.astype(float_t)), dtype=np.float64)
+        e.metal_k = np.asarray(tp.find_spectrum("k", COPPER_K.astype(float_t)), dtype=np.float64)
+        return e
+    if name == "substrate":
+        return MaterialEntry(
+            B.SUBSTRATE,
+            {
+                "kd": spec_tex("Kd", 0.5),
+                "ks": spec_tex("Ks", 0.5),
+                "roughness": float_tex("uroughness", 0.1),
+            },
+            remap_roughness=tp.find_bool("remaproughness", True),
+        )
+    if name == "uber":
+        e = MaterialEntry(
+            B.UBER,
+            {
+                "kd": spec_tex("Kd", 0.25),
+                "ks": spec_tex("Ks", 0.25),
+                "kr": spec_tex("Kr", 0.0),
+                "kt": spec_tex("Kt", 0.0),
+                "roughness": float_tex("roughness", 0.1),
+                "opacity": spec_tex("opacity", 1.0),
+            },
+            remap_roughness=tp.find_bool("remaproughness", True),
+        )
+        e.eta_const = tp.find_float("eta", tp.find_float("index", 1.5))
+        return e
+    if name == "translucent":
+        return MaterialEntry(
+            B.TRANSLUCENT,
+            {
+                "kd": spec_tex("Kd", 0.25),
+                "kt": spec_tex("transmit", 0.5),
+                "roughness": float_tex("roughness", 0.1),
+            },
+        )
+    if name in ("disney",):
+        log.warning("Material 'disney' approximated by substrate lobes on TPU")
+        return MaterialEntry(
+            B.SUBSTRATE,
+            {
+                "kd": spec_tex("color", 0.5),
+                "ks": spec_tex("color", 0.5),
+                "roughness": float_tex("roughness", 0.5),
+            },
+        )
+    if name in ("fourier", "hair", "kdsubsurface", "subsurface", "mix"):
+        log.warning("Material '%s' approximated by matte on TPU (round-1 gap)", name)
+        return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
+    log.warning("Material '%s' unknown; using matte.", name)
+    return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
+
+
+def eval_material_params(entries, mat_id, si):
+    """Evaluate all material entries over the wavefront -> SoA params dict.
+
+    mat_id: [N] int32 indices into ``entries`` (-1 = background/none).
+    """
+    n = mat_id.shape[0]
+    dt = si["p"].dtype if "p" in si else jnp.float32
+    zeros3 = jnp.zeros((n, 3), dtype=dt)
+    zeros1 = jnp.zeros((n,), dtype=dt)
+    params = {
+        "type": jnp.full((n,), B.NONE, dtype=jnp.int32),
+        "kd": zeros3,
+        "ks": zeros3,
+        "kr": zeros3,
+        "kt": zeros3,
+        "roughness": zeros1 + 1e-3,
+        "eta": zeros1 + 1.5,
+        "metal_eta": jnp.broadcast_to(jnp.asarray(COPPER_ETA, dtype=dt), (n, 3)),
+        "metal_k": jnp.broadcast_to(jnp.asarray(COPPER_K, dtype=dt), (n, 3)),
+        "sigma": zeros1,
+    }
+
+    def put3(slot, mask, val):
+        params[slot] = jnp.where(mask[..., None], val, params[slot])
+
+    def put1(slot, mask, val):
+        params[slot] = jnp.where(mask, val, params[slot])
+
+    for k, e in enumerate(entries):
+        mask = mat_id == k
+        put1("type", mask, e.type_id)
+        for slot in ("kd", "ks", "kr", "kt"):
+            tex = e.textures.get(slot)
+            if tex is not None:
+                v = tex.eval(si)
+                if v.ndim == 1:
+                    v = v[..., None] * jnp.ones((1, 3), dtype=dt)
+                put3(slot, mask, v)
+        rtex = e.textures.get("roughness")
+        if rtex is not None:
+            r = rtex.eval(si)
+            if r.ndim > 1:
+                r = r.mean(axis=-1)
+            if e.remap_roughness:
+                r = B.roughness_to_alpha(r)
+            put1("roughness", mask, jnp.maximum(r, 1e-3))
+        stex = e.textures.get("sigma")
+        if stex is not None:
+            s = stex.eval(si)
+            if s.ndim > 1:
+                s = s.mean(axis=-1)
+            put1("sigma", mask, s)
+        put1("eta", mask, e.eta_const)
+        if e.metal_eta is not None:
+            put3("metal_eta", mask, jnp.asarray(e.metal_eta.astype(np.float32)))
+            put3("metal_k", mask, jnp.asarray(e.metal_k.astype(np.float32)))
+    return params

@@ -1,0 +1,112 @@
+"""Top-level render orchestration: the ``world_end -> Render`` step.
+
+The reference stops exactly here (api.rs:432-473 stubbed); this module is
+the TPU realization: build device tables, jit one wavefront step (camera
+ray gen -> path trace -> filtered film scatter-add), then sweep
+(sample index x pixel chunk) with a single compiled program.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu import Options, float_t
+from pbrt_tpu.integrators import make_integrator
+from pbrt_tpu.scene.builder import build_scene
+
+log = logging.getLogger("pbrt_tpu")
+
+
+class Renderer:
+    """Holds the compiled scene + jitted step; reusable across spp."""
+
+    def __init__(self, desc, options: Options | None = None, seed: int = 0):
+        self.options = options or Options()
+        self.compiled = build_scene(desc, self.options, seed)
+        self.integrator = make_integrator(self.compiled)
+        self.film = self.compiled.film
+        self.sampler = self.compiled.sampler
+        self.camera = self.compiled.camera
+        self._step = jax.jit(self._step_impl)
+        self.rays_traced = 0
+
+    def _step_impl(self, state, pixel_xy, sample_index, lane_mask):
+        sampler = self.sampler
+        u_film = sampler.get2(pixel_xy, sample_index, 0)
+        p_film = pixel_xy.astype(float_t) + u_film
+        u_lens = sampler.get2(pixel_xy, sample_index, 2)
+        o, d, w = self.camera.generate_rays(p_film, u_lens)
+        L = self.integrator.li(sampler, pixel_xy, sample_index, o, d)
+        L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
+        return self.film.add_samples(state, p_film, L, mask=lane_mask)
+
+    def render(self, spp: int | None = None, state=None, progress: bool = True):
+        film = self.film
+        sample_bounds = film.get_sample_bounds()
+        pixels = sample_bounds.offsets().astype(np.int32)  # [P,2]
+        n_pix = len(pixels)
+        spp = spp if spp is not None else self.sampler.samples_per_pixel
+        if self.options.quick_render:
+            spp = max(1, spp // 4)
+        batch = min(self.options.ray_batch, max(1, n_pix))
+        n_chunks = -(-n_pix // batch)
+        pad = n_chunks * batch - n_pix
+        if pad:
+            pixels = np.concatenate([pixels, np.repeat(pixels[-1:], pad, axis=0)])
+        mask = np.arange(n_chunks * batch) < n_pix
+        chunks = pixels.reshape(n_chunks, batch, 2)
+        masks = mask.reshape(n_chunks, batch)
+
+        if state is None:
+            state = film.initial_state()
+        t0 = time.time()
+        for s in range(spp):
+            sidx = jnp.full((batch,), s, dtype=jnp.uint32)
+            for ci in range(n_chunks):
+                state = self._step(
+                    state,
+                    jnp.asarray(chunks[ci]),
+                    sidx,
+                    jnp.asarray(masks[ci]),
+                )
+            if progress and (s == 0 or (s + 1) % 16 == 0 or s == spp - 1):
+                jax.block_until_ready(state["weight"])
+                log.info(
+                    "sample %d/%d (%.2fs elapsed)", s + 1, spp, time.time() - t0
+                )
+        jax.block_until_ready(state["weight"])
+        self.rays_traced += n_pix * spp
+        return state
+
+
+def render_scene(desc, options: Options | None = None, seed: int = 0,
+                 write: bool = True):
+    """Parse-result -> image on disk; returns dict with film state + image."""
+    r = Renderer(desc, options, seed)
+    t0 = time.time()
+    state = r.render()
+    dt = time.time() - t0
+    img = np.asarray(r.film.to_rgb(state))
+    log.info(
+        "Rendered %dx%d @ %d spp in %.2fs",
+        r.film.full_resolution[0],
+        r.film.full_resolution[1],
+        r.sampler.samples_per_pixel,
+        dt,
+    )
+    if write and r.film.filename:
+        r.film.write_image(state)
+        log.info("Wrote %s", r.film.filename)
+    return {
+        "image": img,
+        "state": state,
+        "film": r.film,
+        "renderer": r,
+        "seconds": dt,
+    }

@@ -1,0 +1,383 @@
+"""Compile a parsed SceneDescription into flat device tables + render objects.
+
+This is the ``world_end -> MakeScene`` step the reference never implements
+(api.rs:432-473 is commented-out C++).  Output is SoA: all triangles of the
+scene concatenated (pre-transformed to world space at build time), analytic
+spheres with their transform pairs, per-primitive material/light ids, a
+material entry list, and light objects.  Everything the jitted wavefront
+touches is a jnp array gathered by primitive index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pbrt_tpu import float_t
+from pbrt_tpu.cameras import make_camera
+from pbrt_tpu.core.film import Film
+from pbrt_tpu.core.filters import make_filter
+from pbrt_tpu.lights import DiffuseAreaLight, Light, make_light
+from pbrt_tpu.materials import MaterialEntry, build_material
+from pbrt_tpu.ops.intersect import BruteForceIntersector, KIND_SPHERE, KIND_TRI
+from pbrt_tpu.samplers import make_sampler
+from pbrt_tpu.shapes import SphereData, TriangleData, concat_triangle_data, make_shape
+
+log = logging.getLogger("pbrt_tpu")
+
+
+@dataclasses.dataclass
+class CompiledScene:
+    film: Film
+    camera: object
+    sampler: object
+    integrator_name: str
+    integrator_params: object
+    accelerator_name: str
+    materials: List[MaterialEntry]
+    lights: List[Light]
+    area_lights: List[DiffuseAreaLight]
+    tables: Dict[str, object]
+    intersector: object
+    tri_data: Optional[TriangleData]
+    sph_data: Optional[SphereData]
+    world_bounds: tuple
+
+
+def _tessellate_emitting_sphere(sph_rec_data: SphereData, sub=24):
+    """Emitting spheres become triangles so area sampling is uniform."""
+    from pbrt_tpu.core.paramset import ParamSet
+    from pbrt_tpu.core.transform import Transform
+
+    parts = []
+    for i in range(sph_rec_data.count):
+        r = float(sph_rec_data.radius[i])
+        us = np.linspace(0, 2 * np.pi, 2 * sub + 1)
+        vs = np.linspace(0, np.pi, sub + 1)
+        uu, vv = np.meshgrid(us, vs, indexing="ij")
+        x = r * np.sin(vv) * np.cos(uu)
+        y = r * np.sin(vv) * np.sin(uu)
+        z = r * np.cos(vv)
+        pts = np.stack([x, y, z], axis=-1)
+        t = Transform(sph_rec_data.o2w[i])
+        pts_w = t.apply_p(pts.reshape(-1, 3)).reshape(pts.shape)
+        nrm_w = t.apply_n(pts.reshape(-1, 3)).reshape(pts.shape)
+        nn = np.linalg.norm(nrm_w, axis=-1, keepdims=True)
+        nrm_w = nrm_w / np.where(nn == 0, 1, nn)
+        p0s, p1s, p2s, n0s, n1s, n2s, uv0s, uv1s, uv2s = ([] for _ in range(9))
+        nu, nv = uu.shape[0] - 1, uu.shape[1] - 1
+        for a in range(nu):
+            for b in range(nv):
+                quad = [(a, b), (a + 1, b), (a + 1, b + 1), (a, b + 1)]
+                for tri in ((0, 1, 2), (0, 2, 3)):
+                    i0, i1, i2 = (quad[k] for k in tri)
+                    p0s.append(pts_w[i0]); p1s.append(pts_w[i1]); p2s.append(pts_w[i2])
+                    n0s.append(nrm_w[i0]); n1s.append(nrm_w[i1]); n2s.append(nrm_w[i2])
+                    uv0s.append((i0[0] / nu, i0[1] / nv))
+                    uv1s.append((i1[0] / nu, i1[1] / nv))
+                    uv2s.append((i2[0] / nu, i2[1] / nv))
+        td = TriangleData(
+            p0=np.asarray(p0s, dtype=float_t), p1=np.asarray(p1s, dtype=float_t),
+            p2=np.asarray(p2s, dtype=float_t),
+            uv0=np.asarray(uv0s, dtype=float_t), uv1=np.asarray(uv1s, dtype=float_t),
+            uv2=np.asarray(uv2s, dtype=float_t),
+            n0=np.asarray(n0s, dtype=float_t), n1=np.asarray(n1s, dtype=float_t),
+            n2=np.asarray(n2s, dtype=float_t),
+        )
+        keep = td.areas() > 1e-14
+        td = TriangleData(*(getattr(td, f)[keep] for f in
+                            ("p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2")))
+        parts.append(td)
+    return concat_triangle_data(parts)
+
+
+def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
+    """SceneDescription (core/api.py) -> CompiledScene."""
+    # --- film / filter / camera / sampler --------------------------------
+    filt = make_filter(desc.filter_name, desc.filter_params)
+    fp = desc.film_params
+    xres = fp.find_one_int("xresolution", 1280)
+    yres = fp.find_one_int("yresolution", 720)
+    if options is not None and getattr(options, "quick_render", False):
+        xres = max(1, xres // 4)
+        yres = max(1, yres // 4)
+    crop = fp.find_float("cropwindow")
+    if crop is not None and len(crop) == 4:
+        crop_window = ((float(crop[0]), float(crop[2])), (float(crop[1]), float(crop[3])))
+    else:
+        crop_window = ((0.0, 0.0), (1.0, 1.0))
+    filename = fp.find_one_string("filename", "pbrt.png")
+    if options is not None and getattr(options, "image_file", ""):
+        filename = options.image_file
+    film = Film(
+        (xres, yres),
+        crop_window,
+        filt,
+        fp.find_one_float("diagonal", 35.0),
+        filename,
+        fp.find_one_float("scale", 1.0),
+        fp.find_one_float("maxsampleluminance", float("inf")),
+    )
+    camera = make_camera(desc.camera_name, desc.camera_params, desc.camera_to_world[0], film)
+    sampler = make_sampler(desc.sampler_name, desc.sampler_params, seed)
+
+    # --- expand instances into plain shapes ------------------------------
+    shape_records = list(desc.shapes)
+    for inst_name, xform in desc.instance_uses:
+        for rec in desc.instances.get(inst_name, []):
+            new = dataclasses.replace(
+                rec,
+                object_to_world=xform * rec.object_to_world,
+                world_to_object=(xform * rec.object_to_world).inverse(),
+                object_instance=None,
+            )
+            shape_records.append(new)
+
+    # --- materials (dedup by identity of record content) ------------------
+    materials: List[MaterialEntry] = []
+    mat_cache = {}
+
+    def mat_index(record) -> int:
+        key = id(record)
+        if key in mat_cache:
+            return mat_cache[key]
+        materials.append(build_material(record))
+        mat_cache[key] = len(materials) - 1
+        return mat_cache[key]
+
+    # --- shapes -> triangle/sphere tables --------------------------------
+    tri_parts: List[TriangleData] = []
+    tri_mat: List[np.ndarray] = []
+    tri_light: List[np.ndarray] = []
+    sph_parts: List[SphereData] = []
+    sph_mat: List[int] = []
+    area_lights: List[DiffuseAreaLight] = []
+    # group shapes by their area-light record instance
+    pending_area: Dict[int, dict] = {}
+
+    for rec in shape_records:
+        shape = make_shape(rec.name, rec.params, rec.object_to_world, rec.reverse_orientation)
+        if shape is None:
+            continue
+        rec.params.mark_all_used()
+        m_idx = mat_index(rec.material)
+        has_area = bool(rec.area_light_name)
+        if isinstance(shape, SphereData) and has_area:
+            shape = _tessellate_emitting_sphere(shape)
+        if isinstance(shape, TriangleData):
+            light_idx = -1
+            if has_area:
+                ap = rec.area_light_params
+                l_emit = ap.find_one_spectrum("L", np.ones(3, dtype=float_t)) * ap.find_one_spectrum(
+                    "scale", np.ones(3, dtype=float_t)
+                )
+                two_sided = ap.find_one_bool("twosided", False)
+                al = DiffuseAreaLight(
+                    l_emit, two_sided, shape.p0, shape.p1, shape.p2
+                )
+                area_lights.append(al)
+                light_idx = len(area_lights) - 1
+            tri_parts.append(shape)
+            tri_mat.append(np.full(shape.count, m_idx, dtype=np.int32))
+            tri_light.append(np.full(shape.count, light_idx, dtype=np.int32))
+        elif isinstance(shape, SphereData):
+            sph_parts.append(shape)
+            sph_mat.extend([m_idx] * shape.count)
+
+    tri_data = concat_triangle_data(tri_parts)
+    tri_mat_arr = (
+        np.concatenate(tri_mat) if tri_mat else np.zeros(0, dtype=np.int32)
+    )
+    tri_light_arr = (
+        np.concatenate(tri_light) if tri_light else np.zeros(0, dtype=np.int32)
+    )
+    sph_data = None
+    if sph_parts:
+        sph_data = SphereData(
+            o2w=np.concatenate([s.o2w for s in sph_parts]),
+            w2o=np.concatenate([s.w2o for s in sph_parts]),
+            radius=np.concatenate([s.radius for s in sph_parts]),
+            z_min=np.concatenate([s.z_min for s in sph_parts]),
+            z_max=np.concatenate([s.z_max for s in sph_parts]),
+            phi_max=np.concatenate([s.phi_max for s in sph_parts]),
+            reverse_orientation=np.concatenate([s.reverse_orientation for s in sph_parts]),
+        )
+
+    # --- lights -----------------------------------------------------------
+    lights: List[Light] = []
+    for lr in desc.lights:
+        lt = make_light(lr)
+        if lt is not None:
+            lights.append(lt)
+    lights.extend(area_lights)
+    if not lights:
+        log.warning("No light sources defined in scene; rendering will be black.")
+
+    # --- world bounds ------------------------------------------------------
+    mins = np.full(3, np.inf)
+    maxs = np.full(3, -np.inf)
+    if tri_data is not None:
+        for p in (tri_data.p0, tri_data.p1, tri_data.p2):
+            mins = np.minimum(mins, p.min(axis=0))
+            maxs = np.maximum(maxs, p.max(axis=0))
+    if sph_data is not None:
+        from pbrt_tpu.core.transform import Transform
+
+        for i in range(sph_data.count):
+            c = Transform(sph_data.o2w[i]).apply_p(np.zeros(3))
+            r = sph_data.radius[i] * np.abs(sph_data.o2w[i][:3, :3]).max()
+            mins = np.minimum(mins, c - r)
+            maxs = np.maximum(maxs, c + r)
+    if not np.isfinite(mins).all():
+        mins, maxs = -np.ones(3), np.ones(3)
+
+    # --- device tables -----------------------------------------------------
+    tables: Dict[str, object] = {}
+    if tri_data is not None:
+        tables["tri"] = {
+            "p0": jnp.asarray(tri_data.p0),
+            "p1": jnp.asarray(tri_data.p1),
+            "p2": jnp.asarray(tri_data.p2),
+            "uv0": jnp.asarray(tri_data.uv0),
+            "uv1": jnp.asarray(tri_data.uv1),
+            "uv2": jnp.asarray(tri_data.uv2),
+            "n0": jnp.asarray(tri_data.n0),
+            "n1": jnp.asarray(tri_data.n1),
+            "n2": jnp.asarray(tri_data.n2),
+            "mat": jnp.asarray(tri_mat_arr),
+            "light": jnp.asarray(tri_light_arr),
+        }
+    if sph_data is not None:
+        tables["sph"] = {
+            "o2w": jnp.asarray(sph_data.o2w.astype(float_t)),
+            "w2o": jnp.asarray(sph_data.w2o.astype(float_t)),
+            "radius": jnp.asarray(sph_data.radius),
+            "z_min": jnp.asarray(sph_data.z_min),
+            "z_max": jnp.asarray(sph_data.z_max),
+            "phi_max": jnp.asarray(sph_data.phi_max),
+            "reverse": jnp.asarray(sph_data.reverse_orientation),
+            "mat": jnp.asarray(np.asarray(sph_mat, dtype=np.int32)),
+        }
+
+    use_bvh = desc.accelerator_name in ("bvh", "kdtree") and tri_data is not None and tri_data.count > 512
+    if use_bvh:
+        from pbrt_tpu.accel.bvh import BVHIntersector
+
+        intersector = BVHIntersector(tri_data, sph_data)
+    else:
+        intersector = BruteForceIntersector(tri_data, sph_data)
+
+    return CompiledScene(
+        film=film,
+        camera=camera,
+        sampler=sampler,
+        integrator_name=desc.integrator_name,
+        integrator_params=desc.integrator_params,
+        accelerator_name=desc.accelerator_name,
+        materials=materials,
+        lights=lights,
+        area_lights=area_lights,
+        tables=tables,
+        intersector=intersector,
+        tri_data=tri_data,
+        sph_data=sph_data,
+        world_bounds=(mins, maxs),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interaction computation (device)
+# ---------------------------------------------------------------------------
+
+
+def compute_interaction(tables, hit, o, d):
+    """Hit record -> SoA surface interaction dict.
+
+    Keys: p [N,3], ng, ns [N,3], uv [N,2], mat [N], light [N], wo [N,3].
+    Misses get mat=-1/light=-1.
+    """
+    n = o.shape[0]
+    dt = o.dtype
+    t = hit["t"]
+    p = o + d * t[..., None]
+    ng = jnp.zeros((n, 3), dtype=dt).at[:, 2].set(1.0)
+    ns = ng
+    uv = jnp.zeros((n, 2), dtype=dt)
+    mat = jnp.full((n,), -1, dtype=jnp.int32)
+    light = jnp.full((n,), -1, dtype=jnp.int32)
+
+    if "tri" in tables:
+        tr = tables["tri"]
+        idx = jnp.clip(hit["prim"], 0, tr["p0"].shape[0] - 1)
+        is_tri = hit["hit"] & (hit["kind"] == KIND_TRI)
+        b0 = hit["b0"]
+        b1 = hit["b1"]
+        b2 = 1.0 - b0 - b1
+        p0 = tr["p0"][idx]
+        p1 = tr["p1"][idx]
+        p2 = tr["p2"][idx]
+        ng_t = jnp.cross(p1 - p0, p2 - p0)
+        ng_t = ng_t / jnp.maximum(jnp.linalg.norm(ng_t, axis=-1, keepdims=True), 1e-12)
+        ns_t = b2[..., None] * tr["n0"][idx] + b0[..., None] * tr["n1"][idx] + b1[..., None] * tr["n2"][idx]
+        ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
+        ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)
+        # orient geometric normal to agree with shading normal
+        ng_t = jnp.where(jnp.sum(ng_t * ns_t, axis=-1, keepdims=True) < 0, -ng_t, ng_t)
+        uv_t = (
+            b2[..., None] * tr["uv0"][idx]
+            + b0[..., None] * tr["uv1"][idx]
+            + b1[..., None] * tr["uv2"][idx]
+        )
+        m = is_tri[..., None]
+        ng = jnp.where(m, ng_t, ng)
+        ns = jnp.where(m, ns_t, ns)
+        uv = jnp.where(m, uv_t, uv)
+        mat = jnp.where(is_tri, tr["mat"][idx], mat)
+        light = jnp.where(is_tri, tr["light"][idx], light)
+
+    if "sph" in tables:
+        sp = tables["sph"]
+        idx = jnp.clip(hit["prim"], 0, sp["radius"].shape[0] - 1)
+        is_sph = hit["hit"] & (hit["kind"] == KIND_SPHERE)
+        w2o = sp["w2o"][idx]
+        o2w = sp["o2w"][idx]
+        p_obj = (
+            jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p) + w2o[:, :3, 3]
+        )
+        n_obj = p_obj / jnp.maximum(
+            jnp.linalg.norm(p_obj, axis=-1, keepdims=True), 1e-12
+        )
+        # normal transform: (w2o)^T applied to object normal
+        n_w = jnp.einsum("nji,nj->ni", w2o[:, :3, :3], n_obj)
+        n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+        n_w = jnp.where(sp["reverse"][idx][..., None], -n_w, n_w)
+        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+        r = sp["radius"][idx]
+        u_s = phi / sp["phi_max"][idx]
+        zmin = sp["z_min"][idx]
+        zmax = sp["z_max"][idx]
+        theta = jnp.arccos(jnp.clip(p_obj[..., 2] / jnp.maximum(r, 1e-12), -1, 1))
+        theta_min = jnp.arccos(jnp.clip(zmax / jnp.maximum(r, 1e-12), -1, 1))
+        theta_max = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1, 1))
+        v_s = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-9)
+        m = is_sph[..., None]
+        ng = jnp.where(m, n_w, ng)
+        ns = jnp.where(m, n_w, ns)
+        uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
+        mat = jnp.where(is_sph, sp["mat"][idx], mat)
+
+    return {
+        "p": p,
+        "ng": ng,
+        "ns": ns,
+        "uv": uv,
+        "mat": mat,
+        "light": light,
+        "wo": -d,
+    }

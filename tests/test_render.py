@@ -1,0 +1,145 @@
+"""End-to-end rendering correctness tests.
+
+Small analytic scenes with known answers: furnace test (energy
+conservation), inverse-square point lighting, mirror reflection of the
+environment, and bit-determinism across wavefront batch sizes (the
+sharding contract, SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+
+from pbrt_tpu import Options
+from pbrt_tpu.core.api import PbrtAPI
+
+
+def render_string(scene, ray_batch=4096, seed=0):
+    api = PbrtAPI(Options(ray_batch=ray_batch), render_on_world_end=False)
+    api.init()
+    api.parse_string(scene)
+    from pbrt_tpu.render import render_scene
+
+    return render_scene(api.scene, api.opt, seed=seed, write=False)
+
+
+FURNACE = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 16
+Integrator "path" "integer maxdepth" 12
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+WorldBegin
+LightSource "infinite" "rgb L" [.5 .5 .5]
+Material "matte" "rgb Kd" [1 1 1]
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+
+
+def test_furnace_white():
+    """A perfectly white diffuse sphere in a uniform L=0.5 environment must
+    render to exactly the environment radiance everywhere."""
+    res = render_string(FURNACE)
+    img = res["image"]
+    center = img[8:16, 8:16]  # sphere region
+    np.testing.assert_allclose(center.mean(axis=(0, 1)), [0.5, 0.5, 0.5], atol=0.03)
+    # background = env directly
+    np.testing.assert_allclose(img[0, 0], [0.5, 0.5, 0.5], atol=1e-3)
+
+
+MIRROR_ENV = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "random" "integer pixelsamples" 4
+Integrator "path" "integer maxdepth" 3
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+LightSource "infinite" "rgb L" [.2 .6 .9]
+Material "mirror" "rgb Kr" [1 1 1]
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+
+
+def test_mirror_reflects_env_exactly():
+    res = render_string(MIRROR_ENV)
+    img = res["image"]
+    np.testing.assert_allclose(img[8, 8], [0.2, 0.6, 0.9], atol=0.01)
+    np.testing.assert_allclose(img[0, 0], [0.2, 0.6, 0.9], atol=0.01)
+
+
+POINT_LIGHT_PLANE = """
+LookAt 0 0 5  0 0 0  0 1 0
+Camera "orthographic" "float screenwindow" [-1 1 -1 1]
+Sampler "halton" "integer pixelsamples" 8
+Integrator "path" "integer maxdepth" 2
+Film "image" "integer xresolution" [17] "integer yresolution" [17]
+WorldBegin
+LightSource "point" "rgb I" [10 10 10] "point from" [0 0 2]
+Material "matte" "rgb Kd" [0.6 0.6 0.6]
+Shape "trianglemesh"
+    "integer indices" [0 1 2 0 2 3]
+    "point P" [ -50 -50 0   50 -50 0   50 50 0   -50 50 0 ]
+WorldEnd
+"""
+
+
+def test_point_light_inverse_square():
+    """Radiance at plane point under a point light: kd/pi * I * cos/d^2."""
+    res = render_string(POINT_LIGHT_PLANE)
+    img = res["image"]
+    # center pixel: directly under light, d=2, cos=1
+    expected_center = 0.6 / np.pi * 10.0 / 4.0
+    np.testing.assert_allclose(img[8, 8], [expected_center] * 3, rtol=0.02)
+    # pixel at x offset ~0.5 world units: d2 = 4+0.25, cos = 2/sqrt(4.25)
+    # orthographic film maps [-1,1] over 17 px; px (12,8) ~ x=+0.53
+    x = (12 + 0.5) / 17 * 2 - 1
+    d2 = 4 + x * x
+    expected_off = 0.6 / np.pi * 10.0 * (2.0 / np.sqrt(d2)) / d2
+    np.testing.assert_allclose(img[8, 12], [expected_off] * 3, rtol=0.05)
+
+
+def test_determinism_across_batch_sizes():
+    """Same scene + seed at different wavefront batch sizes must produce
+    bit-identical images (pure-function sampling contract)."""
+    a = render_string(MIRROR_ENV, ray_batch=64)["image"]
+    b = render_string(MIRROR_ENV, ray_batch=256)["image"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_area_light_emission_and_nee():
+    """Emissive quad above a diffuse plane: MIS combination converges to the
+    same value as high-spp BSDF-only would; sanity: emission visible
+    directly and plane is lit."""
+    scene = """
+    LookAt 0 1 4  0 1 0  0 1 0
+    Camera "perspective" "float fov" 60
+    Sampler "halton" "integer pixelsamples" 16
+    Integrator "path" "integer maxdepth" 3
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "diffuse" "rgb L" [4 4 4]
+      Shape "trianglemesh"
+        "integer indices" [0 1 2 0 2 3]
+        "point P" [ -0.5 2 -0.5   0.5 2 -0.5   0.5 2 0.5   -0.5 2 0.5 ]
+    AttributeEnd
+    Material "matte" "rgb Kd" [0.7 0.7 0.7]
+    Shape "trianglemesh"
+        "integer indices" [0 1 2 0 2 3]
+        "point P" [ -10 0 -10   10 0 -10   10 0 10   -10 0 10 ]
+    WorldEnd
+    """
+    res = render_string(scene)
+    img = res["image"]
+    assert img.max() > 1.0  # emitter seen directly somewhere near top
+    floor = img[18:, :, :]
+    assert floor.mean() > 0.01  # floor receives light
+    assert np.isfinite(img).all()
+
+
+def test_nan_free_and_nonnegative():
+    res = render_string(FURNACE)
+    img = res["image"]
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()

@@ -51,11 +51,14 @@ class PathIntegrator:
 
     # -- light plumbing ----------------------------------------------------
 
-    def _env_radiance(self, d):
+    def _env_radiance(self, d, theta=None):
         le = jnp.zeros(d.shape[:-1] + (3,), dtype=d.dtype)
+        env_i = 0
         for lt in self.c.lights:
             if lt.is_infinite:
-                le = le + lt.le_escaped(d)
+                ov = theta["env_l"][env_i] if theta is not None else None
+                le = le + lt.le_escaped(d, ov)
+                env_i += 1
         return le
 
     def _env_pdf(self, p, d):
@@ -70,13 +73,14 @@ class PathIntegrator:
                 pdf = pdf + lt.pdf_li(p, d)
         return pdf / n_lights
 
-    def _emitted(self, si, wo):
+    def _emitted(self, si, wo, theta=None):
         """Area-light emission toward wo at hit points."""
         n = wo.shape[0]
         le = jnp.zeros((n, 3), dtype=wo.dtype)
         for i, al in enumerate(self.c.area_lights):
             mask = si["light"] == i
-            lv = al.l_emitted(si["ng"], wo)
+            ov = theta["area_l"][i] if theta is not None else None
+            lv = al.l_emitted(si["ng"], wo, ov)
             le = jnp.where(mask[..., None], lv, le)
         return le
 
@@ -93,7 +97,7 @@ class PathIntegrator:
             pdf = jnp.where(mask, pv, pdf)
         return pdf / n_lights
 
-    def _sample_one_light(self, p, u_sel, u2):
+    def _sample_one_light(self, p, u_sel, u2, theta=None):
         """Uniformly pick a light; returns (wi, li, pdf, dist, is_delta)."""
         n = p.shape[0]
         dt = p.dtype
@@ -108,9 +112,22 @@ class PathIntegrator:
         pick = jnp.minimum(
             (u_sel * n_lights).astype(jnp.int32), n_lights - 1
         )
+        env_i = 0
+        area_i = 0
+        from pbrt_tpu.lights import DiffuseAreaLight, InfiniteAreaLight
+
         for i, lt in enumerate(self.c.lights):
             mask = pick == i
-            wi_i, li_i, pdf_i, dist_i = lt.sample_li(p, u2)
+            if theta is not None and isinstance(lt, InfiniteAreaLight):
+                wi_i, li_i, pdf_i, dist_i = lt.sample_li(p, u2, theta["env_l"][env_i])
+            elif theta is not None and isinstance(lt, DiffuseAreaLight):
+                wi_i, li_i, pdf_i, dist_i = lt.sample_li(p, u2, theta["area_l"][area_i])
+            else:
+                wi_i, li_i, pdf_i, dist_i = lt.sample_li(p, u2)
+            if isinstance(lt, InfiniteAreaLight):
+                env_i += 1
+            if isinstance(lt, DiffuseAreaLight):
+                area_i += 1
             wi = jnp.where(mask[..., None], wi_i, wi)
             li = jnp.where(mask[..., None], li_i, li)
             pdf = jnp.where(mask, pdf_i, pdf)
@@ -122,7 +139,7 @@ class PathIntegrator:
 
     # -- main --------------------------------------------------------------
 
-    def li(self, sampler, pixel_xy, sample_index, o, d):
+    def li(self, sampler, pixel_xy, sample_index, o, d, theta=None):
         """Trace radiance for a wavefront of camera rays.
 
         pixel_xy [N,2] int; sample_index [N]; o,d [N,3] world rays.
@@ -144,7 +161,7 @@ class PathIntegrator:
 
             # --- escaped rays: environment radiance with MIS -------------
             esc = alive & ~hit["hit"]
-            env_le = self._env_radiance(d)
+            env_le = self._env_radiance(d, theta)
             light_pdf = self._env_pdf(prev_p, d)
             w_env = jnp.where(
                 specular_bounce,
@@ -160,7 +177,7 @@ class PathIntegrator:
 
             # --- emitted radiance at hit (area lights) with MIS ----------
             if c.area_lights:
-                le_hit = self._emitted(si, wo)
+                le_hit = self._emitted(si, wo, theta)
                 al_pdf = self._area_light_pdf(prev_p, si, d)
                 w_le = jnp.where(
                     specular_bounce,
@@ -178,7 +195,7 @@ class PathIntegrator:
             ns = vface_forward(si["ns"], wo)
             ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
-            params = eval_material_params(c.materials, si["mat"], si)
+            params = eval_material_params(c.materials, si["mat"], si, theta)
             alive = alive & (si["mat"] >= 0) & (params["type"] != B.NONE)
 
             # --- next-event estimation -----------------------------------
@@ -186,7 +203,7 @@ class PathIntegrator:
                 u_sel = sampler.get(pixel_xy, sample_index, base + 0)
                 u_l = sampler.get2(pixel_xy, sample_index, base + 1)
                 wi_w, li, l_pdf, l_dist, l_delta = self._sample_one_light(
-                    si["p"], u_sel, u_l
+                    si["p"], u_sel, u_l, theta
                 )
                 wi_l = _to_local(ns, ss, ts, wi_w)
                 f = B.bsdf_eval(params, wo_l, wi_l)

@@ -277,10 +277,11 @@ class InfiniteAreaLight(Light):
             return PI * self.l_rgb
         return PI * np.asarray(self.mipmap._flat).mean(axis=0)
 
-    def _le_dir(self, d_world):
+    def _le_dir(self, d_world, l_override=None):
         """Radiance along world direction d (leaving the scene)."""
         if self.mipmap is None:
-            return jnp.broadcast_to(self._ld, d_world.shape[:-1] + (3,))
+            ld = self._ld if l_override is None else l_override
+            return jnp.broadcast_to(ld, d_world.shape[:-1] + (3,))
         w = apply_vector(self._w2lm, d_world)
         w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
         theta = jnp.arccos(jnp.clip(w[..., 2], -1, 1))
@@ -288,15 +289,16 @@ class InfiniteAreaLight(Light):
         phi = jnp.where(phi < 0, phi + 2 * PI, phi)
         return self.mipmap.lookup(phi * INV_2PI, theta * INV_PI)
 
-    def le_escaped(self, d):
-        return self._le_dir(d)
+    def le_escaped(self, d, l_override=None):
+        return self._le_dir(d, l_override)
 
-    def sample_li(self, p, u2):
+    def sample_li(self, p, u2, l_override=None):
         n = p.shape[0]
         if self.distribution is None:
             d_l = uniform_sample_sphere(u2)
             wi = apply_vector(self._l2wm, d_l)
-            li = jnp.broadcast_to(self._ld, (n, 3))
+            ld = self._ld if l_override is None else l_override
+            li = jnp.broadcast_to(ld, (n, 3))
             pdf = jnp.full((n,), 1.0 / (4 * PI), dtype=p.dtype)
         else:
             uv, map_pdf = self.distribution.sample_continuous(u2)
@@ -366,13 +368,14 @@ class DiffuseAreaLight(Light):
     def power(self):
         return self.l_emit * self.total_area * PI * (2.0 if self.two_sided else 1.0)
 
-    def l_emitted(self, n_hit, w_out):
+    def l_emitted(self, n_hit, w_out, l_override=None):
         """Radiance leaving a point with normal n_hit toward w_out."""
+        ld = self._ld if l_override is None else l_override
         facing = jnp.sum(n_hit * w_out, axis=-1) > 0
         ok = facing | self.two_sided
-        return jnp.where(ok[..., None], self._ld, 0.0)
+        return jnp.where(ok[..., None], ld, 0.0)
 
-    def sample_li(self, p, u2):
+    def sample_li(self, p, u2, l_override=None):
         # triangles only for now (sphere emitters converted by builder)
         x, pdf_tri, tri_idx = self.area_dist.sample_continuous(u2[..., 0])
         # reuse the fractional part of x as one fresh uniform for the triangle
@@ -391,9 +394,8 @@ class DiffuseAreaLight(Light):
         cos_term = jnp.abs(cos_l) if self.two_sided else jnp.maximum(cos_l, 0.0)
         # area pdf -> solid angle
         pdf = d2 / jnp.maximum(cos_term * self.total_area, 1e-9)
-        li = jnp.where(
-            (cos_term > 1e-7)[..., None], self._ld, 0.0
-        )
+        ld = self._ld if l_override is None else l_override
+        li = jnp.where((cos_term > 1e-7)[..., None], ld, 0.0)
         pdf = jnp.where(cos_term > 1e-7, pdf, 0.0)
         return wi, li, pdf, dist * (1.0 - 1e-3)
 

@@ -153,10 +153,46 @@ def build_material(record) -> MaterialEntry:
     return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
 
 
-def eval_material_params(entries, mat_id, si):
+def material_theta(entries):
+    """Extract the differentiable constant-parameter pytree from entries.
+
+    Slots backed by ConstantTexture become rows of [M,3]/[M] arrays; rows for
+    procedural/image textures hold the defaults and are ignored at eval.
+    Used for inverse rendering: pass (possibly optimized) ``theta`` back into
+    :func:`eval_material_params` and gradients flow to these leaves.
+    """
+    from pbrt_tpu.textures.constant import ConstantTexture
+
+    m = len(entries)
+    out = {
+        "kd": np.zeros((m, 3), dtype=float_t),
+        "ks": np.zeros((m, 3), dtype=float_t),
+        "kr": np.zeros((m, 3), dtype=float_t),
+        "kt": np.zeros((m, 3), dtype=float_t),
+        "roughness": np.full((m,), 0.1, dtype=float_t),
+        "sigma": np.zeros((m,), dtype=float_t),
+    }
+    for k, e in enumerate(entries):
+        for slot in ("kd", "ks", "kr", "kt"):
+            tex = e.textures.get(slot)
+            if isinstance(tex, ConstantTexture):
+                v = np.asarray(tex.value, dtype=float_t).reshape(-1)
+                out[slot][k] = v if v.size == 3 else np.full(3, float(v[0]))
+        for slot in ("roughness", "sigma"):
+            tex = e.textures.get(slot)
+            if isinstance(tex, ConstantTexture):
+                out[slot][k] = float(np.asarray(tex.value).reshape(-1)[0])
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def eval_material_params(entries, mat_id, si, theta=None):
     """Evaluate all material entries over the wavefront -> SoA params dict.
 
     mat_id: [N] int32 indices into ``entries`` (-1 = background/none).
+    theta: optional differentiable override pytree from
+    :func:`material_theta`; constant-texture slots then read from theta
+    (gathered by mat_id) so gradients flow, while procedural/image textures
+    still evaluate normally.
     """
     n = mat_id.shape[0]
     dt = si["p"].dtype if "p" in si else jnp.float32
@@ -181,29 +217,42 @@ def eval_material_params(entries, mat_id, si):
     def put1(slot, mask, val):
         params[slot] = jnp.where(mask, val, params[slot])
 
+    from pbrt_tpu.textures.constant import ConstantTexture
+
+    safe_id = jnp.clip(mat_id, 0, max(len(entries) - 1, 0))
     for k, e in enumerate(entries):
         mask = mat_id == k
         put1("type", mask, e.type_id)
         for slot in ("kd", "ks", "kr", "kt"):
             tex = e.textures.get(slot)
-            if tex is not None:
+            if tex is None:
+                continue
+            if theta is not None and isinstance(tex, ConstantTexture):
+                v = jnp.broadcast_to(theta[slot][safe_id], (n, 3))
+            else:
                 v = tex.eval(si)
                 if v.ndim == 1:
                     v = v[..., None] * jnp.ones((1, 3), dtype=dt)
-                put3(slot, mask, v)
+            put3(slot, mask, v)
         rtex = e.textures.get("roughness")
         if rtex is not None:
-            r = rtex.eval(si)
-            if r.ndim > 1:
-                r = r.mean(axis=-1)
+            if theta is not None and isinstance(rtex, ConstantTexture):
+                r = theta["roughness"][safe_id]
+            else:
+                r = rtex.eval(si)
+                if r.ndim > 1:
+                    r = r.mean(axis=-1)
             if e.remap_roughness:
                 r = B.roughness_to_alpha(r)
             put1("roughness", mask, jnp.maximum(r, 1e-3))
         stex = e.textures.get("sigma")
         if stex is not None:
-            s = stex.eval(si)
-            if s.ndim > 1:
-                s = s.mean(axis=-1)
+            if theta is not None and isinstance(stex, ConstantTexture):
+                s = theta["sigma"][safe_id]
+            else:
+                s = stex.eval(si)
+                if s.ndim > 1:
+                    s = s.mean(axis=-1)
             put1("sigma", mask, s)
         put1("eta", mask, e.eta_const)
         if e.metal_eta is not None:

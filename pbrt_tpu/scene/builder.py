@@ -48,6 +48,31 @@ class CompiledScene:
     sph_data: Optional[SphereData]
     world_bounds: tuple
 
+    def initial_theta(self):
+        """Differentiable scene-parameter pytree (materials + light colors).
+
+        Keys: material slots from ``material_theta`` plus per-light emission
+        arrays ``env_l`` [n_infinite, 3] and ``area_l`` [n_area, 3].
+        Pass to integrator/render fns; gradients flow to every leaf.
+        """
+        from pbrt_tpu.lights import InfiniteAreaLight
+        from pbrt_tpu.materials import material_theta
+
+        theta = material_theta(self.materials)
+        env = [
+            np.asarray(lt.l_rgb, dtype=float_t)
+            for lt in self.lights
+            if isinstance(lt, InfiniteAreaLight)
+        ]
+        theta["env_l"] = jnp.asarray(
+            np.stack(env) if env else np.zeros((0, 3), dtype=float_t)
+        )
+        area = [np.asarray(al.l_emit, dtype=float_t) for al in self.area_lights]
+        theta["area_l"] = jnp.asarray(
+            np.stack(area) if area else np.zeros((0, 3), dtype=float_t)
+        )
+        return theta
+
 
 def _tessellate_emitting_sphere(sph_rec_data: SphereData, sub=24):
     """Emitting spheres become triangles so area sampling is uniform."""

@@ -289,7 +289,12 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             "mat": jnp.asarray(np.asarray(sph_mat, dtype=np.int32)),
         }
 
-    use_bvh = desc.accelerator_name in ("bvh", "kdtree") and tri_data is not None and tri_data.count > 512
+    min_prims = desc.accelerator_params.find_one_int("minprims", 512)
+    use_bvh = (
+        desc.accelerator_name in ("bvh", "kdtree")
+        and tri_data is not None
+        and tri_data.count >= min_prims
+    )
     if use_bvh:
         from pbrt_tpu.accel.bvh import BVHIntersector
 

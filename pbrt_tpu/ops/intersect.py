@@ -123,15 +123,26 @@ def sphere_intersect_chunk(o, d, t_max, w2o, radius, z_min, z_max, phi_max, vali
     return t[n_idx, best], best
 
 
+def _fit_chunk(n, max_chunk):
+    """Smallest power-of-two chunk covering n, capped at max_chunk —
+    avoids padding a 22-triangle scene to 256 lanes of dead work."""
+    c = 8
+    while c < n and c < max_chunk:
+        c <<= 1
+    return c
+
+
 class BruteForceIntersector:
     """Holds chunked device tables; __call__ is jit-traceable."""
 
     def __init__(self, tri_data, sph_data):
         self.n_tri = tri_data.count if tri_data is not None else 0
         self.n_sph = sph_data.count if sph_data is not None else 0
+        self.tri_chunk = _fit_chunk(self.n_tri, TRI_CHUNK)
+        self.sph_chunk = _fit_chunk(self.n_sph, SPH_CHUNK)
         if self.n_tri:
             (c_arrs, valid) = _chunked(
-                [tri_data.p0, tri_data.p1, tri_data.p2], TRI_CHUNK
+                [tri_data.p0, tri_data.p1, tri_data.p2], self.tri_chunk
             )
             self.tri_chunks = tuple(jnp.asarray(a.astype(float_t)) for a in c_arrs)
             self.tri_valid = jnp.asarray(valid)
@@ -144,7 +155,7 @@ class BruteForceIntersector:
                     sph_data.z_max,
                     sph_data.phi_max,
                 ],
-                SPH_CHUNK,
+                self.sph_chunk,
             )
             self.sph_chunks = tuple(jnp.asarray(np.asarray(a, dtype=float_t)) for a in c_arrs)
             self.sph_valid = jnp.asarray(valid)
@@ -165,7 +176,7 @@ class BruteForceIntersector:
                 better = t < bt
                 bt = jnp.where(better, t, bt)
                 bk = jnp.where(better, KIND_TRI, bk)
-                bp = jnp.where(better, ci * TRI_CHUNK + idx, bp)
+                bp = jnp.where(better, ci * self.tri_chunk + idx, bp)
                 b0c = jnp.where(better, b0, b0c)
                 b1c = jnp.where(better, b1, b1c)
                 return (bt, bk, bp, b0c, b1c), None
@@ -188,7 +199,7 @@ class BruteForceIntersector:
                 better = t < bt
                 bt = jnp.where(better, t, bt)
                 bk = jnp.where(better, KIND_SPHERE, bk)
-                bp = jnp.where(better, ci * SPH_CHUNK + idx, bp)
+                bp = jnp.where(better, ci * self.sph_chunk + idx, bp)
                 return (bt, bk, bp, b0c, b1c), None
 
             chunks = (

@@ -47,6 +47,13 @@ class Renderer:
         return self.film.add_samples(state, p_film, L, mask=lane_mask)
 
     def render(self, spp: int | None = None, state=None, progress: bool = True):
+        """Sweep all (pixel, sample) pairs as wavefront lanes.
+
+        Samples are folded into the lane axis (lane = pixel * spp + s) so a
+        whole frame is a handful of device dispatches — important both for
+        utilization and because host->device dispatch latency dominates
+        small renders.
+        """
         film = self.film
         sample_bounds = film.get_sample_bounds()
         pixels = sample_bounds.offsets().astype(np.int32)  # [P,2]
@@ -54,31 +61,39 @@ class Renderer:
         spp = spp if spp is not None else self.sampler.samples_per_pixel
         if self.options.quick_render:
             spp = max(1, spp // 4)
-        batch = min(self.options.ray_batch, max(1, n_pix))
-        n_chunks = -(-n_pix // batch)
-        pad = n_chunks * batch - n_pix
+        # lanes = (pixel, sample) pairs
+        lane_pixels = np.repeat(pixels, spp, axis=0)
+        lane_sidx = np.tile(np.arange(spp, dtype=np.uint32), n_pix)
+        n_lanes = n_pix * spp
+        batch = min(self.options.ray_batch, max(1, n_lanes))
+        n_chunks = -(-n_lanes // batch)
+        pad = n_chunks * batch - n_lanes
         if pad:
-            pixels = np.concatenate([pixels, np.repeat(pixels[-1:], pad, axis=0)])
-        mask = np.arange(n_chunks * batch) < n_pix
-        chunks = pixels.reshape(n_chunks, batch, 2)
+            lane_pixels = np.concatenate(
+                [lane_pixels, np.repeat(lane_pixels[-1:], pad, axis=0)]
+            )
+            lane_sidx = np.concatenate(
+                [lane_sidx, np.zeros(pad, dtype=np.uint32)]
+            )
+        mask = np.arange(n_chunks * batch) < n_lanes
+        chunks = lane_pixels.reshape(n_chunks, batch, 2)
+        sidx_chunks = lane_sidx.reshape(n_chunks, batch)
         masks = mask.reshape(n_chunks, batch)
 
         if state is None:
             state = film.initial_state()
         t0 = time.time()
-        for s in range(spp):
-            sidx = jnp.full((batch,), s, dtype=jnp.uint32)
-            for ci in range(n_chunks):
-                state = self._step(
-                    state,
-                    jnp.asarray(chunks[ci]),
-                    sidx,
-                    jnp.asarray(masks[ci]),
-                )
-            if progress and (s == 0 or (s + 1) % 16 == 0 or s == spp - 1):
+        for ci in range(n_chunks):
+            state = self._step(
+                state,
+                jnp.asarray(chunks[ci]),
+                jnp.asarray(sidx_chunks[ci]),
+                jnp.asarray(masks[ci]),
+            )
+            if progress and (ci == 0 or ci == n_chunks - 1 or (ci + 1) % 8 == 0):
                 jax.block_until_ready(state["weight"])
                 log.info(
-                    "sample %d/%d (%.2fs elapsed)", s + 1, spp, time.time() - t0
+                    "chunk %d/%d (%.2fs elapsed)", ci + 1, n_chunks, time.time() - t0
                 )
         jax.block_until_ready(state["weight"])
         self.rays_traced += n_pix * spp

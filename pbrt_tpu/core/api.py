@@ -135,6 +135,7 @@ class SceneDescription:
     transform_start_time: float = 0.0
     transform_end_time: float = 1.0
     have_scattering_media: bool = False
+    camera_medium: str = ""
 
 
 class _GraphicsState:
@@ -387,6 +388,7 @@ class PbrtAPI:
         self.scene.camera_name = name
         self.scene.camera_params = params
         self.scene.camera_to_world = self.current_transform.inverse()
+        self.scene.camera_medium = self.graphics_state.current_outside_medium
         self.named_coordinate_systems["camera"] = self.scene.camera_to_world.copy()
 
     def make_named_medium(self, name: str, params: ParamSet) -> None:

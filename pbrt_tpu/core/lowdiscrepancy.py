@@ -75,20 +75,27 @@ def radical_inverse(base_index: int, n):
     inv_base = jnp.float32(1.0 / base)
     digits = _max_digits(base)
 
+    # accumulate digit_k * base^-(k+1) in float — an integer digit-reversal
+    # accumulator overflows uint32 after ~20 base-3 digits.
     def body(i, carry):
-        rev, inv, rem = carry
-        digit = rem % base
-        rev = rev * base + digit
+        val, scale, rem = carry
+        digit = (rem % base).astype(jnp.float32)
+        scale = scale * inv_base
+        val = val + digit * scale
         rem = rem // base
-        inv = inv * inv_base
-        return rev, inv, rem
+        return val, scale, rem
 
-    rev0 = jnp.zeros_like(n, dtype=jnp.uint32)
-    _, _, _ = 0, 0, 0
-    rev, inv, _ = jax.lax.fori_loop(
-        0, digits, body, (rev0, jnp.ones_like(n, dtype=jnp.float32), n)
+    val, _, _ = jax.lax.fori_loop(
+        0,
+        digits,
+        body,
+        (
+            jnp.zeros_like(n, dtype=jnp.float32),
+            jnp.ones_like(n, dtype=jnp.float32),
+            n,
+        ),
     )
-    return jnp.minimum(rev.astype(jnp.float32) * inv, jnp.float32(0.99999994))
+    return jnp.minimum(val, jnp.float32(0.99999994))
 
 
 def scrambled_radical_inverse(base_index: int, n, rotation):

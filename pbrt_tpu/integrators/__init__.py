@@ -22,10 +22,19 @@ def make_integrator(compiled):
         return DirectLightingIntegrator(compiled, max_depth)
     if name == "whitted":
         return WhittedIntegrator(compiled, max_depth)
-    if name in ("volpath", "bdpt", "mlt", "sppm", "ao"):
+    if name == "volpath":
+        from pbrt_tpu.integrators.volpath import VolPathIntegrator
+
+        rr_threshold = params.find_one_float("rrthreshold", 1.0)
+        return VolPathIntegrator(compiled, max_depth, rr_threshold)
+    if name in ("bdpt", "mlt", "sppm", "ao"):
         log.warning(
             "Integrator '%s' not yet implemented on TPU; using path (gap).", name
         )
+        if compiled.media:
+            from pbrt_tpu.integrators.volpath import VolPathIntegrator
+
+            return VolPathIntegrator(compiled, max_depth, 1.0)
         return PathIntegrator(compiled, max_depth, 1.0)
     log.warning("Integrator '%s' unknown; using path.", name)
     return PathIntegrator(compiled, max_depth, 1.0)

@@ -1,0 +1,222 @@
+"""Volumetric path integrator (pbrt-v3 §15.3 semantics, wavefront form).
+
+Extends the surface path loop with per-lane medium tracking: every lane
+carries a medium id (-1 = vacuum).  Each bounce first samples a medium
+interaction against the surface hit distance; scattered lanes do a
+phase-function event (NEE with transmittance + Henyey-Greenstein
+direction), surviving lanes shade the surface as usual.  Crossing a
+surface whose shape declared a MediumInterface switches the lane's medium
+(entering -> inside, exiting -> outside).
+
+Round-1 approximations (documented):
+  * shadow-ray transmittance uses the lane's current medium over the full
+    unoccluded segment (no per-boundary segmentation);
+  * grid media sample distances using their channel-averaged sigma_t at
+    the ray origin (delta tracking lands with the Pallas kernels).
+
+Dimension layout adds 2 dims per bounce after the surface dims:
+  base+7: medium distance u     base+8,9(next-bounce lobe slot reuse): phase u2
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pbrt_tpu.core.sampling import power_heuristic
+from pbrt_tpu.integrators.path import INF_T, SHADOW_EPS, PathIntegrator, _to_local, _to_world
+from pbrt_tpu.materials import eval_material_params
+from pbrt_tpu.materials import bsdf as B
+from pbrt_tpu.media import hg_phase, hg_sample
+from pbrt_tpu.scene.builder import compute_interaction
+from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+
+N_DIMS_PER_BOUNCE = 10
+
+
+class VolPathIntegrator(PathIntegrator):
+    def __init__(self, compiled, max_depth=5, rr_threshold=1.0):
+        super().__init__(compiled, max_depth, rr_threshold)
+        self.media = compiled.media
+
+    # medium helpers: static unrolled select over media list ---------------
+
+    def _medium_transmittance(self, med_id, dist):
+        tr = jnp.ones(dist.shape + (3,), dtype=dist.dtype)
+        for i, m in enumerate(self.media):
+            tri = m.transmittance(dist)
+            tr = jnp.where((med_id == i)[..., None], tri, tr)
+        return tr
+
+    def _medium_sample(self, med_id, u, t_hit):
+        t = t_hit
+        scattered = jnp.zeros(t_hit.shape, dtype=bool)
+        beta = jnp.ones(t_hit.shape + (3,), dtype=t_hit.dtype)
+        g = jnp.zeros(t_hit.shape, dtype=t_hit.dtype)
+        for i, m in enumerate(self.media):
+            ti, si, bi = m.sample_distance(u, t_hit)
+            mask = med_id == i
+            t = jnp.where(mask, ti, t)
+            scattered = jnp.where(mask, si, scattered)
+            beta = jnp.where(mask[..., None], bi, beta)
+            g = jnp.where(mask, m.g, g)
+        return t, scattered, beta, g
+
+    def li(self, sampler, pixel_xy, sample_index, o, d, theta=None):
+        c = self.c
+        n = o.shape[0]
+        dt = o.dtype
+        L = jnp.zeros((n, 3), dtype=dt)
+        beta = jnp.ones((n, 3), dtype=dt)
+        alive = jnp.ones((n,), dtype=bool)
+        specular_bounce = jnp.ones((n,), dtype=bool)
+        prev_bsdf_pdf = jnp.ones((n,), dtype=dt)
+        prev_p = o
+        med = jnp.full((n,), c.camera_medium, dtype=jnp.int32)
+
+        for bounce in range(self.max_depth):
+            base = 5 + N_DIMS_PER_BOUNCE * bounce
+            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
+            t_hit = jnp.where(hit["hit"], hit["t"], INF_T)
+
+            # ---- medium interaction sampling ---------------------------
+            if self.media:
+                u_med = sampler.get(pixel_xy, sample_index, base + 7)
+                t_med, scattered, med_beta, g_lane = self._medium_sample(
+                    med, u_med, t_hit
+                )
+                in_medium = med >= 0
+                scattered = scattered & in_medium & alive
+                beta = jnp.where(
+                    (alive & in_medium)[..., None], beta * med_beta, beta
+                )
+            else:
+                scattered = jnp.zeros((n,), dtype=bool)
+                t_med = t_hit
+
+            # ---- escaped rays ------------------------------------------
+            esc = alive & ~hit["hit"] & ~scattered
+            env_le = self._env_radiance(d, theta)
+            light_pdf = self._env_pdf(prev_p, d)
+            w_env = jnp.where(
+                specular_bounce, 1.0, power_heuristic(1, prev_bsdf_pdf, 1, light_pdf)
+            )
+            L = L + jnp.where(esc[..., None], beta * env_le * w_env[..., None], 0.0)
+
+            si = compute_interaction(c.tables, hit, o, d)
+            wo = si["wo"]
+
+            # ---- emission at surface hits (not medium-scattered lanes) --
+            if c.area_lights:
+                le_hit = self._emitted(si, wo, theta)
+                al_pdf = self._area_light_pdf(prev_p, si, d)
+                w_le = jnp.where(
+                    specular_bounce, 1.0, power_heuristic(1, prev_bsdf_pdf, 1, al_pdf)
+                )
+                surf = alive & hit["hit"] & ~scattered
+                L = L + jnp.where(surf[..., None], beta * le_hit * w_le[..., None], 0.0)
+
+            alive = alive & (hit["hit"] | scattered)
+            if bounce == self.max_depth - 1:
+                break
+
+            # ---- positions for this vertex ------------------------------
+            p_med = o + d * t_med[..., None]
+            p_vertex = jnp.where(scattered[..., None], p_med, si["p"])
+
+            # ---- NEE (both surface and medium vertices) ------------------
+            ns = vface_forward(si["ns"], wo)
+            ss, ts = coordinate_system(ns)
+            wo_l = _to_local(ns, ss, ts, wo)
+            params = eval_material_params(c.materials, si["mat"], si, theta)
+            surf_ok = alive & ~scattered & (si["mat"] >= 0) & (params["type"] != B.NONE)
+
+            if c.lights:
+                u_sel = sampler.get(pixel_xy, sample_index, base + 0)
+                u_l = sampler.get2(pixel_xy, sample_index, base + 1)
+                wi_w, li, l_pdf, l_dist, l_delta = self._sample_one_light(
+                    p_vertex, u_sel, u_l, theta
+                )
+                wi_l = _to_local(ns, ss, ts, wi_w)
+                # surface throughput
+                f_surf = B.bsdf_eval(params, wo_l, wi_l) * jnp.abs(wi_l[..., 2])[..., None]
+                b_pdf_surf = B.bsdf_pdf(params, wo_l, wi_l)
+                # medium throughput: phase value (importance = value for MIS)
+                cos_wi = jnp.sum(d * wi_w, axis=-1)
+                ph = hg_phase(cos_wi, jnp.where(scattered, 0.0, 0.0) + self._g_of(med))
+                f_med = jnp.broadcast_to(ph[..., None], (n, 3))
+                f = jnp.where(scattered[..., None], f_med, f_surf)
+                b_pdf = jnp.where(scattered, ph, b_pdf_surf)
+                can = alive & (l_pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0) & (
+                    surf_ok | scattered
+                )
+                shadow_o = jnp.where(
+                    scattered[..., None],
+                    p_med,
+                    si["p"]
+                    + si["ng"] * SHADOW_EPS
+                    * jnp.sign(jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)),
+                )
+                occ = c.intersector.occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS)
+                tr = self._medium_transmittance(med, jnp.minimum(l_dist, 1e6))
+                vis = can & ~occ
+                w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))
+                contrib = beta * f * li * tr * (w_l / jnp.maximum(l_pdf, 1e-12))[..., None]
+                L = L + jnp.where(vis[..., None], contrib, 0.0)
+
+            # ---- continuation sampling ----------------------------------
+            u_lobe = sampler.get(pixel_xy, sample_index, base + 3)
+            u_b = sampler.get2(pixel_xy, sample_index, base + 4)
+            # surface continuation
+            wi_ls, f_s, pdf_s, spec = B.bsdf_sample(params, wo_l, u_lobe, u_b)
+            wi_surf = _to_world(ns, ss, ts, wi_ls)
+            w_surf_ok = surf_ok & (pdf_s > 0.0) & (jnp.max(f_s, axis=-1) > 0.0)
+            beta_surf = f_s * (jnp.abs(wi_ls[..., 2]) / jnp.maximum(pdf_s, 1e-12))[..., None]
+            # medium continuation (HG sample; value/pdf cancel)
+            wi_med, _ = hg_sample(-d, u_b, self._g_of(med))
+            wi_w = jnp.where(scattered[..., None], wi_med, wi_surf)
+            ok = jnp.where(scattered, alive, w_surf_ok)
+            beta = jnp.where(
+                (ok & ~scattered)[..., None], beta * beta_surf, beta
+            )
+            alive = ok
+
+            # ---- medium switching at surface crossings ------------------
+            crossing = ~scattered & alive
+            entering = jnp.sum(wi_w * si["ng"], axis=-1) < 0.0
+            new_med = jnp.where(entering, si.get("med_in", med), si.get("med_out", med))
+            if "med_in" in si:
+                med = jnp.where(crossing, new_med, med)
+
+            prev_p = p_vertex
+            prev_bsdf_pdf = jnp.where(scattered, 1.0, pdf_s)
+            specular_bounce = jnp.where(scattered, False, spec)
+            o = jnp.where(
+                scattered[..., None],
+                p_med,
+                si["p"]
+                + si["ng"] * SHADOW_EPS
+                * jnp.sign(jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)),
+            )
+            d = wi_w
+
+            if bounce > 3:
+                max_beta = jnp.max(beta, axis=-1)
+                q = jnp.maximum(0.05, 1.0 - max_beta)
+                u_rr = sampler.get(pixel_xy, sample_index, base + 6)
+                survive = u_rr >= q
+                beta = jnp.where(
+                    (alive & survive)[..., None],
+                    beta / jnp.maximum(1.0 - q, 1e-6)[..., None],
+                    beta,
+                )
+                alive = alive & survive
+
+        return L
+
+    def _g_of(self, med_id):
+        g = jnp.zeros(med_id.shape, dtype=jnp.float32)
+        for i, m in enumerate(self.media):
+            g = jnp.where(med_id == i, m.g, g)
+        return g

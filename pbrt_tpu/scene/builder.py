@@ -47,6 +47,9 @@ class CompiledScene:
     tri_data: Optional[TriangleData]
     sph_data: Optional[SphereData]
     world_bounds: tuple
+    media: list = dataclasses.field(default_factory=list)
+    media_names: dict = dataclasses.field(default_factory=dict)
+    camera_medium: int = -1
 
     def initial_theta(self):
         """Differentiable scene-parameter pytree (materials + light colors).
@@ -151,6 +154,27 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     camera = make_camera(desc.camera_name, desc.camera_params, desc.camera_to_world[0], film)
     sampler = make_sampler(desc.sampler_name, desc.sampler_params, seed)
 
+    # --- participating media ---------------------------------------------
+    from pbrt_tpu.media import make_medium as _make_medium
+
+    media = []
+    media_names = {}
+    for m_name, m_params in desc.named_media.items():
+        kind = m_params.find_one_string("type", "homogeneous")
+        media.append(_make_medium(kind, m_params))
+        media_names[m_name] = len(media) - 1
+
+    def med_id(name: str) -> int:
+        if not name:
+            return -1
+        idx = media_names.get(name)
+        if idx is None:
+            log.error("Named medium '%s' undefined.", name)
+            return -1
+        return idx
+
+    camera_medium = med_id(desc.camera_medium)
+
     # --- expand instances into plain shapes ------------------------------
     shape_records = list(desc.shapes)
     for inst_name, xform in desc.instance_uses:
@@ -179,6 +203,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     tri_parts: List[TriangleData] = []
     tri_mat: List[np.ndarray] = []
     tri_light: List[np.ndarray] = []
+    tri_med_in: List[np.ndarray] = []
+    tri_med_out: List[np.ndarray] = []
     sph_parts: List[SphereData] = []
     sph_mat: List[int] = []
     area_lights: List[DiffuseAreaLight] = []
@@ -210,6 +236,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             tri_parts.append(shape)
             tri_mat.append(np.full(shape.count, m_idx, dtype=np.int32))
             tri_light.append(np.full(shape.count, light_idx, dtype=np.int32))
+            tri_med_in.append(np.full(shape.count, med_id(rec.inside_medium), dtype=np.int32))
+            tri_med_out.append(np.full(shape.count, med_id(rec.outside_medium), dtype=np.int32))
         elif isinstance(shape, SphereData):
             sph_parts.append(shape)
             sph_mat.extend([m_idx] * shape.count)
@@ -220,6 +248,12 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     )
     tri_light_arr = (
         np.concatenate(tri_light) if tri_light else np.zeros(0, dtype=np.int32)
+    )
+    tri_med_in_arr = (
+        np.concatenate(tri_med_in) if tri_med_in else np.zeros(0, dtype=np.int32)
+    )
+    tri_med_out_arr = (
+        np.concatenate(tri_med_out) if tri_med_out else np.zeros(0, dtype=np.int32)
     )
     sph_data = None
     if sph_parts:
@@ -276,6 +310,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             "n2": jnp.asarray(tri_data.n2),
             "mat": jnp.asarray(tri_mat_arr),
             "light": jnp.asarray(tri_light_arr),
+            "med_in": jnp.asarray(tri_med_in_arr),
+            "med_out": jnp.asarray(tri_med_out_arr),
         }
     if sph_data is not None:
         tables["sph"] = {
@@ -317,6 +353,9 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         tri_data=tri_data,
         sph_data=sph_data,
         world_bounds=(mins, maxs),
+        media=media,
+        media_names=media_names,
+        camera_medium=camera_medium,
     )
 
 
@@ -340,6 +379,8 @@ def compute_interaction(tables, hit, o, d):
     uv = jnp.zeros((n, 2), dtype=dt)
     mat = jnp.full((n,), -1, dtype=jnp.int32)
     light = jnp.full((n,), -1, dtype=jnp.int32)
+    med_in = jnp.full((n,), -1, dtype=jnp.int32)
+    med_out = jnp.full((n,), -1, dtype=jnp.int32)
 
     if "tri" in tables:
         tr = tables["tri"]
@@ -369,6 +410,9 @@ def compute_interaction(tables, hit, o, d):
         uv = jnp.where(m, uv_t, uv)
         mat = jnp.where(is_tri, tr["mat"][idx], mat)
         light = jnp.where(is_tri, tr["light"][idx], light)
+        if "med_in" in tr:
+            med_in = jnp.where(is_tri, tr["med_in"][idx], med_in)
+            med_out = jnp.where(is_tri, tr["med_out"][idx], med_out)
 
     if "sph" in tables:
         sp = tables["sph"]
@@ -409,5 +453,7 @@ def compute_interaction(tables, hit, o, d):
         "uv": uv,
         "mat": mat,
         "light": light,
+        "med_in": med_in,
+        "med_out": med_out,
         "wo": -d,
     }

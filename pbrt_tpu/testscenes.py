@@ -77,3 +77,86 @@ def cornell_renderer(xres=256, yres=256, spp=4, maxdepth=5, ray_batch=1 << 16,
         xres, yres, spp, maxdepth, options=Options(ray_batch=ray_batch)
     )
     return Renderer(desc, opts, seed=seed)
+
+
+def _torus_mesh_params(nu=224, nv=112, major=1.0, minor=0.4, displace=0.08):
+    """Procedural displaced torus: ~2*nu*nv triangles (host numpy)."""
+    import numpy as np
+
+    from pbrt_tpu.core.paramset import ParamSet
+
+    u = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    v = np.linspace(0, 2 * np.pi, nv, endpoint=False)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    # deterministic displacement field
+    r = minor * (
+        1.0
+        + displace * np.sin(7 * uu) * np.cos(5 * vv)
+        + 0.5 * displace * np.sin(13 * vv + 2 * uu)
+    )
+    x = (major + r * np.cos(vv)) * np.cos(uu)
+    y = (major + r * np.cos(vv)) * np.sin(uu)
+    z = r * np.sin(vv)
+    pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    uvs = np.stack([uu / (2 * np.pi), vv / (2 * np.pi)], axis=-1).reshape(-1, 2)
+
+    def vid(i, j):
+        return (i % nu) * nv + (j % nv)
+
+    idx = []
+    for i in range(nu):
+        for j in range(nv):
+            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
+            idx.extend([a, b, c, a, c, d])
+    ps = ParamSet()
+    ps.add_int("indices", idx)
+    ps.add_point3f("P", pts.astype(np.float32))
+    ps.add_point2f("uv", uvs.astype(np.float32))
+    return ps, len(idx) // 3
+
+
+def mesh_scene_renderer(xres=256, yres=256, spp=4, maxdepth=5, ray_batch=1 << 16,
+                        nu=224, nv=112, seed=0):
+    """BASELINE config 3: ~50k-triangle mesh, BVH, textured matte,
+    point + area lights, MIS on."""
+    import numpy as np
+
+    from pbrt_tpu.core.api import PbrtAPI
+    from pbrt_tpu.render import Renderer
+
+    api = PbrtAPI(Options(ray_batch=ray_batch), render_on_world_end=False)
+    api.init()
+    api.parse_string(
+        f"""
+        LookAt 2.8 2.2 2.8  0 0 0  0 0 1
+        Camera "perspective" "float fov" 45
+        Sampler "halton" "integer pixelsamples" {spp}
+        Integrator "path" "integer maxdepth" {maxdepth}
+        Film "image" "integer xresolution" [{xres}] "integer yresolution" [{yres}]
+        Accelerator "bvh"
+        WorldBegin
+        LightSource "point" "rgb I" [30 28 25] "point from" [3 -3 4]
+        AttributeBegin
+          AreaLightSource "diffuse" "rgb L" [6 6 7]
+          Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+            "point P" [-1 -1 3.5  1 -1 3.5  1 1 3.5  -1 1 3.5]
+        AttributeEnd
+        Texture "checks" "spectrum" "checkerboard"
+            "float uscale" [16] "float vscale" [8]
+            "rgb tex1" [.2 .3 .5] "rgb tex2" [.8 .75 .6]
+        Material "matte" "texture Kd" "checks"
+        """
+    )
+    ps, n_tris = _torus_mesh_params(nu, nv)
+    api.shape("trianglemesh", ps)
+    # floor
+    api.parse_string(
+        """
+        Material "matte" "rgb Kd" [0.4 0.4 0.42]
+        Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+          "point P" [-8 -8 -0.7  8 -8 -0.7  8 8 -0.7  -8 8 -0.7]
+        """
+    )
+    api.scene.film_params.add_int("xresolution", [xres])
+    api.scene.film_params.add_int("yresolution", [yres])
+    return Renderer(api.scene, api.opt, seed=seed), n_tris

@@ -1,0 +1,91 @@
+"""Participating-media tests: transmittance math, phase normalization,
+and end-to-end fog attenuation (volpath)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu import Options
+from pbrt_tpu.core.api import PbrtAPI
+from pbrt_tpu.media import HomogeneousMedium, hg_phase, hg_sample
+
+
+def test_homogeneous_transmittance():
+    m = HomogeneousMedium([0.1, 0.2, 0.3], [0.0, 0.0, 0.0])
+    tr = np.asarray(m.transmittance(jnp.asarray([2.0])))
+    np.testing.assert_allclose(tr[0], np.exp(-np.array([0.2, 0.4, 0.6])), rtol=1e-5)
+
+
+def test_distance_sampling_unbiased():
+    """E[pass-through weight * indicator] == Tr for a gray medium."""
+    m = HomogeneousMedium([0.3, 0.3, 0.3], [0.2, 0.2, 0.2])
+    n = 200_000
+    u = jnp.asarray(np.random.default_rng(0).uniform(size=n).astype(np.float32))
+    t_hit = jnp.full((n,), 2.0)
+    t, scattered, beta = m.sample_distance(u, t_hit)
+    passed = ~np.asarray(scattered)
+    est = np.asarray(beta)[passed].mean(axis=0) * passed.mean()
+    np.testing.assert_allclose(est, np.exp(-0.5 * 2.0) * np.ones(3), rtol=0.02)
+
+
+def test_hg_phase_normalization():
+    """Integral of HG over the sphere must be 1."""
+    for g in (0.0, 0.4, -0.7):
+        mu = np.linspace(-1, 1, 20001)
+        vals = np.asarray(hg_phase(jnp.asarray(mu), g))
+        integral = 2 * np.pi * np.trapezoid(vals, mu)
+        np.testing.assert_allclose(integral, 1.0, rtol=1e-3)
+
+
+def test_hg_sample_matches_density():
+    wo = jnp.asarray(np.tile([0.0, 0.0, -1.0], (100000, 1)).astype(np.float32))
+    u2 = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(100000, 2)).astype(np.float32)
+    )
+    wi, pdf = hg_sample(wo, u2, 0.6)
+    wi = np.asarray(wi)
+    # forward direction is -wo = +z; mean cosine should approach g
+    cos = wi[:, 2]
+    np.testing.assert_allclose(cos.mean(), 0.6, atol=0.01)
+    np.testing.assert_allclose(np.linalg.norm(wi, axis=-1), 1.0, atol=1e-4)
+
+
+FOG_SCENE = """
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [{sa} {sa} {sa}] "rgb sigma_s" [0 0 0]
+MediumInterface "" "fog"
+LookAt 0 0 5  0 0 0  0 1 0
+Camera "orthographic" "float screenwindow" [-1 1 -1 1]
+Sampler "halton" "integer pixelsamples" 64
+Integrator "volpath" "integer maxdepth" 2
+Film "image" "integer xresolution" [9] "integer yresolution" [9]
+WorldBegin
+LightSource "point" "rgb I" [10 10 10] "point from" [0 0 2]
+Material "matte" "rgb Kd" [0.6 0.6 0.6]
+Shape "trianglemesh"
+    "integer indices" [0 1 2 0 2 3]
+    "point P" [ -50 -50 0   50 -50 0   50 50 0   -50 50 0 ]
+WorldEnd
+"""
+
+
+def render(scene):
+    api = PbrtAPI(Options(ray_batch=9 * 9 * 64), render_on_world_end=False)
+    api.init()
+    api.parse_string(scene)
+    from pbrt_tpu.render import render_scene
+
+    return render_scene(api.scene, api.opt, write=False)["image"]
+
+
+def test_fog_absorption_attenuates_exponentially():
+    clear = render(FOG_SCENE.format(sa=1e-6))
+    foggy = render(FOG_SCENE.format(sa=0.1))
+    # center pixel: camera->plane dist 5, light->plane dist 2
+    expected_ratio = np.exp(-0.1 * 5) * np.exp(-0.1 * 2)
+    ratio = foggy[4, 4, 0] / clear[4, 4, 0]
+    np.testing.assert_allclose(ratio, expected_ratio, rtol=0.1)
+    # clear render matches the analytic direct value
+    np.testing.assert_allclose(clear[4, 4], [0.6 / np.pi * 10 / 4] * 3, rtol=0.02)

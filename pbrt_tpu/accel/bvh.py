@@ -41,13 +41,22 @@ from pbrt_tpu.ops.intersect import (
 LEAF_SIZE = 4
 
 
-def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE):
-    """Median-split BVH; returns (node arrays, prim permutation).
+def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
+    """BVH build; returns (node arrays, prim permutation).
 
     node arrays: mins [M,3], maxs [M,3], skip [M], first [M], count [M]
     (count==0 for interior nodes); perm [T] maps BVH prim slots to
     original triangle indices.
+
+    Prefers the native binned-SAH builder (native/pbrt_native.cpp) and
+    falls back to the Python median-split build.
     """
+    if use_native:
+        from pbrt_tpu.native import bvh_build_native
+
+        out = bvh_build_native(np.asarray(p0), np.asarray(p1), np.asarray(p2), leaf_size)
+        if out is not None:
+            return out
     t = len(p0)
     bb_min = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
     bb_max = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)

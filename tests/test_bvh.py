@@ -120,3 +120,41 @@ def test_scene_with_bvh_renders_same_as_brute():
     img_bvh = run("bvh")
     img_brute = run("none")
     np.testing.assert_allclose(img_bvh, img_brute, atol=1e-6)
+
+
+def test_native_sah_build_matches_brute_force():
+    """Native binned-SAH tree must produce identical hits to brute force."""
+    from pbrt_tpu.native import bvh_build_native
+
+    tri = random_mesh(2000, seed=11)
+    out = bvh_build_native(tri.p0, tri.p1, tri.p2)
+    if out is None:
+        pytest.skip("native library unavailable")
+    bvh = BVHIntersector(tri, None)  # uses native build by default
+    brute = BruteForceIntersector(tri, None)
+    o, d = random_rays(512, seed=5)
+    t_max = jnp.full((512,), 1e8, dtype=jnp.float32)
+    hb = jax.jit(brute.intersect)(o, d, t_max)
+    hv = jax.jit(bvh.intersect)(o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(hv["hit"]))
+    hit = np.asarray(hb["hit"])
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[hit], np.asarray(hv["t"])[hit], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb["prim"])[hit], np.asarray(hv["prim"])[hit]
+    )
+
+
+def test_native_tokenizer_parity():
+    from pbrt_tpu.core.parser import create_from_string
+    from pbrt_tpu.native import tokenize_native
+
+    data = open("/root/reference/scenes/check-sphere.pbrt", "rb").read()
+    out = tokenize_native(data)
+    if out is None:
+        pytest.skip("native library unavailable")
+    st, en = out
+    native = [data[s:e].decode() for s, e in zip(st, en)]
+    python = list(create_from_string(data))
+    assert native == python

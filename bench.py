@@ -28,14 +28,16 @@ def main():
     from pbrt_tpu.testscenes import cornell_renderer
 
     xres = yres = 256
-    spp = 4
+    spp = 8
     maxdepth = 5
+    # one dispatch per 256k lanes: dispatch latency through the accelerator
+    # tunnel dominates small launches
     r = cornell_renderer(
-        xres=xres, yres=yres, spp=spp, maxdepth=maxdepth, ray_batch=1 << 16
+        xres=xres, yres=yres, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
     )
 
-    # warmup / compile
-    state = r.render(spp=1, progress=False)
+    # warmup / compile (same lane-batch shape as the timed run)
+    state = r.render(spp=spp, progress=False)
 
     t0 = time.time()
     state = r.render(spp=spp, state=r.film.initial_state(), progress=False)

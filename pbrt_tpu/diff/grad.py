@@ -24,11 +24,20 @@ import jax.numpy as jnp
 from pbrt_tpu import float_t
 
 
-def make_radiance_fn(renderer):
-    """Returns f(theta, pixel_xy, sample_index) -> L [N,3]."""
+def make_radiance_fn(renderer, remat: bool = True):
+    """Returns f(theta, pixel_xy, sample_index) -> L [N,3].
+
+    ``remat=True`` (default) turns on per-bounce ``jax.checkpoint`` in the
+    integrator: the backward pass replays each bounce from its inputs
+    (path-replay backprop) instead of materializing per-bounce wavefront
+    state — constant-in-depth activation memory.
+    """
+    import copy
+
     sampler = renderer.sampler
     camera = renderer.camera
-    integrator = renderer.integrator
+    integrator = copy.copy(renderer.integrator)
+    integrator.remat = remat
 
     def radiance(theta, pixel_xy, sample_index):
         u_film = sampler.get2(pixel_xy, sample_index, 0)

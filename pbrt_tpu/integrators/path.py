@@ -15,7 +15,11 @@ Dimension layout:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+import jax
 
 import jax.numpy as jnp
 
@@ -44,10 +48,18 @@ def _to_world(ns, ss, ts, v):
 
 
 class PathIntegrator:
-    def __init__(self, compiled, max_depth=5, rr_threshold=1.0):
+    """``remat=True`` enables path-replay backprop: each bounce body is
+    wrapped in ``jax.checkpoint``, so reverse-mode differentiation *replays*
+    the bounce (regenerating its deterministic samples and re-intersecting)
+    instead of storing per-bounce wavefront state — O(1)-in-depth memory,
+    the autodiff formulation of the BASELINE "path-replay" requirement.
+    Forward-only rendering is unaffected."""
+
+    def __init__(self, compiled, max_depth=5, rr_threshold=1.0, remat=False):
         self.c = compiled
         self.max_depth = int(max_depth)
         self.rr_threshold = float(rr_threshold)
+        self.remat = bool(remat)
 
     # -- light plumbing ----------------------------------------------------
 
@@ -148,14 +160,29 @@ class PathIntegrator:
         c = self.c
         n = o.shape[0]
         dt = o.dtype
-        L = jnp.zeros((n, 3), dtype=dt)
-        beta = jnp.ones((n, 3), dtype=dt)
-        alive = jnp.ones((n,), dtype=bool)
-        specular_bounce = jnp.ones((n,), dtype=bool)  # camera "bounce"
-        prev_bsdf_pdf = jnp.ones((n,), dtype=dt)
-        prev_p = o
-
+        carry = (
+            jnp.zeros((n, 3), dtype=dt),  # L
+            jnp.ones((n, 3), dtype=dt),  # beta
+            jnp.ones((n,), dtype=bool),  # alive
+            jnp.ones((n,), dtype=bool),  # specular_bounce (camera "bounce")
+            jnp.ones((n,), dtype=dt),  # prev_bsdf_pdf
+            o,  # prev_p
+            o,
+            d,
+        )
         for bounce in range(self.max_depth):
+            body = functools.partial(self._bounce, bounce, sampler, theta)
+            if self.remat:
+                body = jax.checkpoint(body, static_argnums=())
+            carry = body(carry, pixel_xy, sample_index)
+        return carry[0]
+
+    def _bounce(self, bounce, sampler, theta, carry, pixel_xy, sample_index):
+        c = self.c
+        (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d) = carry
+        n = o.shape[0]
+        dt = o.dtype
+        if True:
             base = 5 + 7 * bounce
             hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
 
@@ -189,7 +216,7 @@ class PathIntegrator:
                 )
 
             if bounce == self.max_depth - 1:
-                break
+                return (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d)
 
             # --- shading frame + material params -------------------------
             ns = vface_forward(si["ns"], wo)
@@ -260,4 +287,4 @@ class PathIntegrator:
                 )
                 alive = alive & survive
 
-        return L
+        return (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d)

@@ -37,6 +37,7 @@ from pbrt_tpu.ops.intersect import (
     BruteForceIntersector,
     sphere_intersect_chunk,
 )
+from pbrt_tpu.ops.intersect_soa import SoABruteForceIntersector
 
 LEAF_SIZE = 4
 
@@ -116,20 +117,28 @@ class BVHIntersector:
         self.n_sph = sph_data.count if sph_data is not None else 0
         self._sph_brute = None
         if self.n_sph:
-            self._sph_brute = BruteForceIntersector(None, sph_data)
+            self._sph_brute = SoABruteForceIntersector(None, sph_data)
         if self.n_tri:
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )
             self.n_nodes = len(mins)
-            self.node_min = jnp.asarray(mins)
-            self.node_max = jnp.asarray(maxs)
+            # per-component [M] arrays: per-lane gathers then produce flat
+            # [N] vectors with full 128-lane tile occupancy (a gathered
+            # [N,3] would put the 3-axis on the lanes)
+            self.node_min_c = tuple(jnp.asarray(mins[:, c].copy()) for c in range(3))
+            self.node_max_c = tuple(jnp.asarray(maxs[:, c].copy()) for c in range(3))
             self.node_skip = jnp.asarray(skips)
             self.node_first = jnp.asarray(firsts)
             self.node_count = jnp.asarray(counts)
-            self.tri_p0 = jnp.asarray(tri_data.p0[perm].astype(float_t))
-            self.tri_p1 = jnp.asarray(tri_data.p1[perm].astype(float_t))
-            self.tri_p2 = jnp.asarray(tri_data.p2[perm].astype(float_t))
+            tp0 = tri_data.p0[perm].astype(float_t)
+            tp1 = tri_data.p1[perm].astype(float_t)
+            tp2 = tri_data.p2[perm].astype(float_t)
+            self.tri_c = tuple(
+                jnp.asarray(arr[:, c].copy())
+                for arr in (tp0, tp1, tp2)
+                for c in range(3)
+            )
             self.perm = jnp.asarray(perm.astype(np.int32))
             self.leaf_size = leaf_size
 
@@ -138,10 +147,14 @@ class BVHIntersector:
     def _traverse(self, o, d, t_max, any_hit: bool):
         n = o.shape[0]
         m = self.n_nodes
-        # safe reciprocal: zero components become +/-1e30 (sign-preserving)
-        sign_d = jnp.where(d < 0.0, -1.0, 1.0)
-        d_safe = sign_d * jnp.maximum(jnp.abs(d), 1e-20)
-        inv_d = jnp.clip(1.0 / d_safe, -1e30, 1e30)
+        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+
+        def safe_inv(v):
+            sign = jnp.where(v < 0.0, -1.0, 1.0)
+            return jnp.clip(sign / jnp.maximum(jnp.abs(v), 1e-20), -1e30, 1e30)
+
+        ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
         def cond(state):
             node = state[0]
@@ -151,36 +164,47 @@ class BVHIntersector:
             node, best_t, best_prim, b0c, b1c = state
             active = node < m
             ni = jnp.minimum(node, m - 1)
-            bmin = self.node_min[ni]
-            bmax = self.node_max[ni]
-            t_lo = (bmin - o) * inv_d
-            t_hi = (bmax - o) * inv_d
-            t_near = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
-            t_far = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+            tx0 = (self.node_min_c[0][ni] - ox) * ivx
+            tx1 = (self.node_max_c[0][ni] - ox) * ivx
+            ty0 = (self.node_min_c[1][ni] - oy) * ivy
+            ty1 = (self.node_max_c[1][ni] - oy) * ivy
+            tz0 = (self.node_min_c[2][ni] - oz) * ivz
+            tz1 = (self.node_max_c[2][ni] - oz) * ivz
+            t_near = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            t_far = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
             box_hit = active & (t_near <= t_far) & (t_far > RAY_EPS) & (t_near < best_t)
             count = self.node_count[ni]
             is_leaf = count > 0
             first = self.node_first[ni]
 
             # leaf triangle tests (static unroll over leaf slots)
+            (p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z) = self.tri_c
             for k in range(self.leaf_size):
                 pid = jnp.minimum(first + k, self.n_tri - 1)
                 valid = box_hit & is_leaf & (k < count)
-                p0 = self.tri_p0[pid]
-                p1 = self.tri_p1[pid]
-                p2 = self.tri_p2[pid]
-                e1 = p1 - p0
-                e2 = p2 - p0
-                pvec = jnp.cross(d, e2)
-                det = jnp.sum(e1 * pvec, axis=-1)
+                ax, ay, az = p0x[pid], p0y[pid], p0z[pid]
+                e1x, e1y, e1z = p1x[pid] - ax, p1y[pid] - ay, p1z[pid] - az
+                e2x, e2y, e2z = p2x[pid] - ax, p2y[pid] - ay, p2z[pid] - az
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
                 inv_det = jnp.where(
                     jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
                 )
-                tvec = o - p0
-                b0 = jnp.sum(tvec * pvec, axis=-1) * inv_det
-                qvec = jnp.cross(tvec, e1)
-                b1 = jnp.sum(d * qvec, axis=-1) * inv_det
-                tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+                tvx, tvy, tvz = ox - ax, oy - ay, oz - az
+                b0 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                b1 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                 tri_hit = (
                     valid
                     & (jnp.abs(det) > 1e-12)

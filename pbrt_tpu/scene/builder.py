@@ -24,7 +24,8 @@ from pbrt_tpu.core.film import Film
 from pbrt_tpu.core.filters import make_filter
 from pbrt_tpu.lights import DiffuseAreaLight, Light, make_light
 from pbrt_tpu.materials import MaterialEntry, build_material
-from pbrt_tpu.ops.intersect import BruteForceIntersector, KIND_SPHERE, KIND_TRI
+from pbrt_tpu.ops.intersect import KIND_SPHERE, KIND_TRI
+from pbrt_tpu.ops.intersect_soa import SoABruteForceIntersector
 from pbrt_tpu.samplers import make_sampler
 from pbrt_tpu.shapes import SphereData, TriangleData, concat_triangle_data, make_shape
 
@@ -336,7 +337,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
 
         intersector = BVHIntersector(tri_data, sph_data)
     else:
-        intersector = BruteForceIntersector(tri_data, sph_data)
+        intersector = SoABruteForceIntersector(tri_data, sph_data)
 
     return CompiledScene(
         film=film,

@@ -72,29 +72,38 @@ def radical_inverse(base_index: int, n):
         v = ((v & jnp.uint32(0x55555555)) << 1) | ((v & jnp.uint32(0xAAAAAAAA)) >> 1)
         return v.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
 
-    inv_base = jnp.float32(1.0 / base)
+    inv_base = np.float32(1.0 / base)
     digits = _max_digits(base)
 
     # accumulate digit_k * base^-(k+1) in float — an integer digit-reversal
     # accumulator overflows uint32 after ~20 base-3 digits.
-    def body(i, carry):
-        val, scale, rem = carry
+    # On TPU the digit loop is UNROLLED (static count) so it fuses into the
+    # surrounding kernel; a lax.fori_loop would bounce the [N] carry through
+    # HBM once per digit.  On CPU unrolling only bloats XLA compile time, so
+    # keep the rolled loop there (identical arithmetic, identical results).
+    if jax.default_backend() == "cpu":
+        def body(i, carry):
+            val, scale, rem = carry
+            digit = (rem % base).astype(jnp.float32)
+            scale = scale * inv_base
+            val = val + digit * scale
+            rem = rem // base
+            return val, scale, rem
+
+        val, _, _ = jax.lax.fori_loop(
+            0, digits,
+            body,
+            (jnp.zeros(n.shape, jnp.float32), jnp.float32(1.0), n),
+        )
+        return jnp.minimum(val, jnp.float32(0.99999994))
+    val = jnp.zeros(n.shape, dtype=jnp.float32)
+    scale = 1.0
+    rem = n
+    for _ in range(digits):
         digit = (rem % base).astype(jnp.float32)
-        scale = scale * inv_base
+        scale = scale * float(inv_base)
         val = val + digit * scale
         rem = rem // base
-        return val, scale, rem
-
-    val, _, _ = jax.lax.fori_loop(
-        0,
-        digits,
-        body,
-        (
-            jnp.zeros_like(n, dtype=jnp.float32),
-            jnp.ones_like(n, dtype=jnp.float32),
-            n,
-        ),
-    )
     return jnp.minimum(val, jnp.float32(0.99999994))
 
 
@@ -231,12 +240,18 @@ def sobol_sample_u32(index, dim_matrix):
     index: [N] uint32 device array; dim_matrix: [32] uint32 (device).
     """
     index = jnp.asarray(index, jnp.uint32)
+    if jax.default_backend() == "cpu":
+        def body(i, acc):
+            bit = (index >> i) & jnp.uint32(1)
+            return acc ^ jnp.where(bit.astype(bool), dim_matrix[i], jnp.uint32(0))
 
-    def body(i, acc):
+        return jax.lax.fori_loop(0, SOBOL_BITS, body, jnp.zeros_like(index))
+    # TPU: unrolled (32 static steps) so the XOR chain fuses into one kernel
+    acc = jnp.zeros(index.shape, dtype=jnp.uint32)
+    for i in range(SOBOL_BITS):
         bit = (index >> i) & jnp.uint32(1)
-        return acc ^ (jnp.where(bit.astype(bool), dim_matrix[i], jnp.uint32(0)))
-
-    return jax.lax.fori_loop(0, SOBOL_BITS, body, jnp.zeros_like(index))
+        acc = acc ^ jnp.where(bit.astype(bool), dim_matrix[i], jnp.uint32(0))
+    return acc
 
 
 def owen_scramble_u32(x, seed):

@@ -27,7 +27,15 @@ def make_integrator(compiled):
 
         rr_threshold = params.find_one_float("rrthreshold", 1.0)
         return VolPathIntegrator(compiled, max_depth, rr_threshold)
-    if name in ("bdpt", "mlt", "sppm", "ao"):
+    if name == "ao":
+        from pbrt_tpu.integrators.ao import AOIntegrator
+
+        return AOIntegrator(
+            compiled,
+            cos_sample=params.find_one_bool("cossample", True),
+            n_samples=params.find_one_int("nsamples", 1),
+        )
+    if name in ("bdpt", "mlt", "sppm"):
         log.warning(
             "Integrator '%s' not yet implemented on TPU; using path (gap).", name
         )

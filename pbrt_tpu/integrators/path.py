@@ -223,6 +223,8 @@ class PathIntegrator:
             ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
+            # true medium side (pre-face-forward orientation) for dielectrics
+            params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0
             alive = alive & (si["mat"] >= 0) & (params["type"] != B.NONE)
 
             # --- next-event estimation -----------------------------------

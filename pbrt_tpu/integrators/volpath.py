@@ -130,6 +130,7 @@ class VolPathIntegrator(PathIntegrator):
             ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
+            params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0
             surf_ok = alive & ~scattered & (si["mat"] >= 0) & (params["type"] != B.NONE)
 
             if c.lights:

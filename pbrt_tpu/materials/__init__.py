@@ -219,6 +219,10 @@ def eval_material_params(entries, mat_id, si, theta=None):
 
     from pbrt_tpu.textures.constant import ConstantTexture
 
+    # static set of present material types: bsdf lobe code for absent types
+    # is pruned from the compiled program entirely
+    params["_active"] = frozenset(e.type_id for e in entries)
+
     safe_id = jnp.clip(mat_id, 0, max(len(entries) - 1, 0))
     for k, e in enumerate(entries):
         mask = mat_id == k
@@ -242,9 +246,13 @@ def eval_material_params(entries, mat_id, si, theta=None):
                 r = rtex.eval(si)
                 if r.ndim > 1:
                     r = r.mean(axis=-1)
+            raw = r
             if e.remap_roughness:
                 r = B.roughness_to_alpha(r)
-            put1("roughness", mask, jnp.maximum(r, 1e-3))
+            # zero roughness means perfectly smooth (specular glass), and
+            # must survive the remap (pbrt builds a specular BxDF there)
+            r = jnp.where(raw <= 1e-5, 1e-4, jnp.maximum(r, 1e-3))
+            put1("roughness", mask, r)
         stex = e.textures.get("sigma")
         if stex is not None:
             if theta is not None and isinstance(stex, ConstantTexture):

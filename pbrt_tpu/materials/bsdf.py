@@ -252,43 +252,113 @@ def _substrate_f(params, wo, wi):
 # ---------------------------------------------------------------------------
 
 
+def _microfacet_transmission_f(params, wo, wi):
+    """Rough dielectric transmission (pbrt-v3 §8.4.4, radiance transport).
+
+    Used for GLASS with roughness above the smooth threshold.
+    """
+    alpha = params["roughness"]
+    eta = params["eta"]
+    co = wo[..., 2]
+    ci = wi[..., 2]
+    same = same_hemisphere(wo, wi)
+    # eta ratio for the transmission half-vector; true side from geometry
+    outside = params.get("outside", co > 0)
+    eta_p = jnp.where(outside, eta, 1.0 / eta)
+    wh = wo + wi * eta_p[..., None]
+    wh_len = jnp.linalg.norm(wh, axis=-1, keepdims=True)
+    wh_n = wh / jnp.maximum(wh_len, 1e-12)
+    wh_n = wh_n * jnp.sign(wh_n[..., 2:3])  # orient to +z
+    f_d = fresnel_dielectric(jnp.sum(wo * wh_n, axis=-1), jnp.ones_like(eta), eta)
+    sqrt_denom = jnp.sum(wo * wh_n, axis=-1) + eta_p * jnp.sum(wi * wh_n, axis=-1)
+    factor = 1.0 / jnp.maximum(eta_p, 1e-6)
+    d_term = ggx_d(wh_n, alpha)
+    g_term = ggx_g(wo, wi, alpha)
+    val = (
+        (1.0 - f_d)
+        * d_term
+        * g_term
+        * jnp.abs(
+            jnp.sum(wi * wh_n, axis=-1)
+            * jnp.sum(wo * wh_n, axis=-1)
+            * factor
+            * factor
+            / jnp.maximum(
+                jnp.abs(ci) * jnp.abs(co) * sqrt_denom * sqrt_denom, 1e-9
+            )
+        )
+    )
+    ok = (~same) & (jnp.abs(co) > 1e-6) & (jnp.abs(ci) > 1e-6) & (wh_len[..., 0] > 1e-9)
+    return jnp.where(ok[..., None], params["kt"] * val[..., None], 0.0)
+
+
+ROUGH_GLASS_MIN_ALPHA = 5e-3
+
+
+def _active_types(params):
+    """Static set of material-type ids present in the scene (None = all).
+
+    Lobes for absent types are skipped entirely — this prunes both the
+    compiled graph and the per-lane arithmetic."""
+    return params.get("_active")
+
+
 def bsdf_eval(params, wo, wi):
     """f(wo, wi) [N,3] for non-specular lobes (specular contributes 0)."""
     mtype = params["type"]
     alpha = params["roughness"]
     eta = params["eta"]
     f = jnp.zeros_like(params["kd"])
+    active = _active_types(params)
 
-    diffuse = _diffuse_f(params, wo, wi)
-    refl_dielectric = _microfacet_reflection_f(
-        wo, wi, alpha,
-        lambda ci: fresnel_dielectric(ci, jnp.ones_like(eta), eta)[..., None],
-        params["ks"],
-    )
-    refl_conductor = _microfacet_reflection_f(
-        wo, wi, alpha,
-        lambda ci: fresnel_conductor(ci, params["metal_eta"], params["metal_k"]),
-        jnp.ones_like(params["ks"]),
-    )
-    substrate = _substrate_f(params, wo, wi)
+    def has(*types):
+        return active is None or any(t in active for t in types)
 
     hemi = same_hemisphere(wo, wi)[..., None]
-    f = jnp.where((mtype == MATTE)[..., None], jnp.where(hemi, diffuse, 0.0), f)
-    f = jnp.where(
-        (mtype == PLASTIC)[..., None],
-        jnp.where(hemi, diffuse + refl_dielectric, 0.0),
-        f,
-    )
-    f = jnp.where(
-        (mtype == UBER)[..., None],
-        jnp.where(hemi, diffuse + refl_dielectric, 0.0),
-        f,
-    )
-    f = jnp.where((mtype == METAL)[..., None], refl_conductor, f)
-    f = jnp.where((mtype == SUBSTRATE)[..., None], substrate, f)
-    # translucent: lambertian reflection (kd) + lambertian transmission (kt)
-    translucent_f = jnp.where(hemi, params["kd"], params["kt"]) * INV_PI
-    f = jnp.where((mtype == TRANSLUCENT)[..., None], translucent_f, f)
+    if has(MATTE, PLASTIC, UBER):
+        diffuse = _diffuse_f(params, wo, wi)
+    if has(PLASTIC, UBER):
+        refl_dielectric = _microfacet_reflection_f(
+            wo, wi, alpha,
+            lambda ci: fresnel_dielectric(ci, jnp.ones_like(eta), eta)[..., None],
+            params["ks"],
+        )
+    if has(MATTE):
+        f = jnp.where((mtype == MATTE)[..., None], jnp.where(hemi, diffuse, 0.0), f)
+    if has(PLASTIC):
+        f = jnp.where(
+            (mtype == PLASTIC)[..., None],
+            jnp.where(hemi, diffuse + refl_dielectric, 0.0),
+            f,
+        )
+    if has(UBER):
+        f = jnp.where(
+            (mtype == UBER)[..., None],
+            jnp.where(hemi, diffuse + refl_dielectric, 0.0),
+            f,
+        )
+    if has(METAL):
+        refl_conductor = _microfacet_reflection_f(
+            wo, wi, alpha,
+            lambda ci: fresnel_conductor(ci, params["metal_eta"], params["metal_k"]),
+            jnp.ones_like(params["ks"]),
+        )
+        f = jnp.where((mtype == METAL)[..., None], refl_conductor, f)
+    if has(SUBSTRATE):
+        substrate = _substrate_f(params, wo, wi)
+        f = jnp.where((mtype == SUBSTRATE)[..., None], substrate, f)
+    if has(TRANSLUCENT):
+        translucent_f = jnp.where(hemi, params["kd"], params["kt"]) * INV_PI
+        f = jnp.where((mtype == TRANSLUCENT)[..., None], translucent_f, f)
+    if has(GLASS):
+        rough_glass = (mtype == GLASS) & (alpha > ROUGH_GLASS_MIN_ALPHA)
+        rg_refl = _microfacet_reflection_f(
+            wo, wi, alpha,
+            lambda ci: fresnel_dielectric(ci, jnp.ones_like(eta), eta)[..., None],
+            params["kr"],
+        )
+        rg_trans = _microfacet_transmission_f(params, wo, wi)
+        f = jnp.where(rough_glass[..., None], rg_refl + rg_trans, f)
     return f
 
 
@@ -296,17 +366,48 @@ def bsdf_pdf(params, wo, wi):
     """Solid-angle pdf of sample_bsdf for non-specular lanes."""
     mtype = params["type"]
     alpha = params["roughness"]
+    active = _active_types(params)
+
+    def has(*types):
+        return active is None or any(t in active for t in types)
+
     cos_pdf = jnp.where(same_hemisphere(wo, wi), jnp.abs(wi[..., 2]) * INV_PI, 0.0)
-    mf_pdf = _microfacet_pdf(wo, wi, alpha)
     pdf = jnp.zeros(wo.shape[:-1], dtype=wo.dtype)
-    pdf = jnp.where(mtype == MATTE, cos_pdf, pdf)
-    pdf = jnp.where(
-        (mtype == PLASTIC) | (mtype == UBER) | (mtype == SUBSTRATE),
-        0.5 * (cos_pdf + mf_pdf),
-        pdf,
-    )
-    pdf = jnp.where(mtype == METAL, mf_pdf, pdf)
-    pdf = jnp.where(mtype == TRANSLUCENT, 0.5 * jnp.abs(wi[..., 2]) * INV_PI, pdf)
+    if has(PLASTIC, UBER, SUBSTRATE, METAL, GLASS):
+        mf_pdf = _microfacet_pdf(wo, wi, alpha)
+    if has(MATTE):
+        pdf = jnp.where(mtype == MATTE, cos_pdf, pdf)
+    if has(PLASTIC, UBER, SUBSTRATE):
+        pdf = jnp.where(
+            (mtype == PLASTIC) | (mtype == UBER) | (mtype == SUBSTRATE),
+            0.5 * (cos_pdf + mf_pdf),
+            pdf,
+        )
+    if has(METAL):
+        pdf = jnp.where(mtype == METAL, mf_pdf, pdf)
+    if has(TRANSLUCENT):
+        pdf = jnp.where(mtype == TRANSLUCENT, 0.5 * jnp.abs(wi[..., 2]) * INV_PI, pdf)
+    if has(GLASS):
+        # rough dielectric: half of each lobe's pdf
+        eta = params["eta"]
+        outside_p = params.get("outside", wo[..., 2] > 0)
+        eta_p = jnp.where(outside_p, eta, 1.0 / eta)
+        wh_t = wo + wi * eta_p[..., None]
+        wh_t_len = jnp.linalg.norm(wh_t, axis=-1, keepdims=True)
+        wh_tn = wh_t / jnp.maximum(wh_t_len, 1e-12)
+        wh_tn = wh_tn * jnp.sign(wh_tn[..., 2:3])
+        sqrt_denom = jnp.sum(wo * wh_tn, axis=-1) + eta_p * jnp.sum(wi * wh_tn, axis=-1)
+        dwh_dwi = jnp.abs(
+            (eta_p * eta_p * jnp.sum(wi * wh_tn, axis=-1))
+            / jnp.maximum(sqrt_denom * sqrt_denom, 1e-9)
+        )
+        trans_pdf = jnp.where(
+            (~same_hemisphere(wo, wi)) & (wh_t_len[..., 0] > 1e-9),
+            ggx_pdf_wh(wh_tn, alpha) * dwh_dwi,
+            0.0,
+        )
+        rough_glass = (mtype == GLASS) & (alpha > ROUGH_GLASS_MIN_ALPHA)
+        pdf = jnp.where(rough_glass, 0.5 * (mf_pdf + trans_pdf), pdf)
     return pdf
 
 
@@ -319,6 +420,11 @@ def bsdf_sample(params, wo, u_lobe, u2):
     mtype = params["type"]
     alpha = params["roughness"]
     eta = params["eta"]
+    active = _active_types(params)
+
+    def has(*types):
+        return active is None or any(t in active for t in types)
+
     n_local = jnp.broadcast_to(
         jnp.asarray([0.0, 0.0, 1.0], dtype=wo.dtype), wo.shape
     )
@@ -329,60 +435,89 @@ def bsdf_sample(params, wo, u_lobe, u2):
     wi_diff = wi_diff * jnp.stack(
         [jnp.ones_like(sign_o), jnp.ones_like(sign_o), sign_o], axis=-1
     )
+    wi = wi_diff
 
-    # candidate 2: microfacet half-vector reflection
-    wh = ggx_sample_wh(u2, alpha)
-    wh = wh * sign_o[..., None]  # same side as wo
-    wi_mf = reflect(wo, wh)
+    if has(PLASTIC, UBER, SUBSTRATE, METAL, GLASS):
+        # candidate 2: microfacet half-vector reflection
+        wh = ggx_sample_wh(u2, alpha)
+        wh = wh * sign_o[..., None]  # same side as wo
+        wi_mf = reflect(wo, wh)
+        use_mf = (
+            ((mtype == PLASTIC) | (mtype == UBER) | (mtype == SUBSTRATE))
+            & (u_lobe >= 0.5)
+        ) | (mtype == METAL)
+        wi = jnp.where(use_mf[..., None], wi_mf, wi)
 
     # candidate 3: perfect mirror
     wi_mirror = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    if has(MIRROR):
+        wi = jnp.where((mtype == MIRROR)[..., None], wi_mirror, wi)
 
-    # candidate 4: glass — choose reflect vs refract by Fresnel
-    f_diel = fresnel_dielectric(wo[..., 2], jnp.ones_like(eta), eta)
-    n_oriented = n_local * sign_o[..., None]
-    eta_ratio = jnp.where(wo[..., 2] > 0, 1.0 / eta, eta)
-    wt, tir = refract(wo, n_oriented, eta_ratio)
-    wt_norm = wt / jnp.maximum(jnp.linalg.norm(wt, axis=-1, keepdims=True), 1e-12)
-    choose_reflect = (u_lobe < f_diel) | tir
-    wi_glass = jnp.where(choose_reflect[..., None], wi_mirror, wt_norm)
+    rough_glass = jnp.zeros(wo.shape[:-1], dtype=bool)
+    if has(GLASS):
+        # candidate 4: glass — choose reflect vs refract by Fresnel.
+        # The shading frame is face-forwarded (wo.z > 0 always), so the
+        # true medium side comes from params["outside"]; without it the
+        # exit transmission would reuse the entry eta scaling.
+        outside = params.get("outside", wo[..., 2] > 0)
+        cos_signed = jnp.where(outside, jnp.abs(wo[..., 2]), -jnp.abs(wo[..., 2]))
+        f_diel = fresnel_dielectric(cos_signed, jnp.ones_like(eta), eta)
+        n_oriented = n_local * sign_o[..., None]
+        eta_ratio = jnp.where(outside, 1.0 / eta, eta)
+        wt, tir = refract(wo, n_oriented, eta_ratio)
+        wt_norm = wt / jnp.maximum(jnp.linalg.norm(wt, axis=-1, keepdims=True), 1e-12)
+        choose_reflect = (u_lobe < f_diel) | tir
+        wi_glass = jnp.where(choose_reflect[..., None], wi_mirror, wt_norm)
 
-    # per-type choice
-    use_mf = (
-        ((mtype == PLASTIC) | (mtype == UBER) | (mtype == SUBSTRATE)) & (u_lobe >= 0.5)
-    ) | (mtype == METAL)
-    wi = jnp.where(use_mf[..., None], wi_mf, wi_diff)
-    wi = jnp.where((mtype == MIRROR)[..., None], wi_mirror, wi)
-    wi = jnp.where((mtype == GLASS)[..., None], wi_glass, wi)
-    # translucent: flip to other side with prob .5
-    flip = (mtype == TRANSLUCENT) & (u_lobe >= 0.5)
-    wi = jnp.where(
-        flip[..., None],
-        wi_diff * jnp.asarray([1.0, 1.0, -1.0], dtype=wo.dtype),
-        wi,
-    )
+        # candidate 5: rough glass — GGX half-vector, reflect/refract about it
+        refl_about_wh = reflect(wo, wh)
+        wt_wh, tir_wh = refract(
+            wo, wh * jnp.sign(jnp.sum(wo * wh, axis=-1, keepdims=True)), eta_ratio
+        )
+        wt_wh = wt_wh / jnp.maximum(
+            jnp.linalg.norm(wt_wh, axis=-1, keepdims=True), 1e-12
+        )
+        rough_reflect = (u_lobe < 0.5) | tir_wh
+        wi_rough_glass = jnp.where(rough_reflect[..., None], refl_about_wh, wt_wh)
 
-    specular = (mtype == MIRROR) | (mtype == GLASS)
+        rough_glass = (mtype == GLASS) & (alpha > ROUGH_GLASS_MIN_ALPHA)
+        wi = jnp.where((mtype == GLASS)[..., None], wi_glass, wi)
+        wi = jnp.where(rough_glass[..., None], wi_rough_glass, wi)
+
+    if has(TRANSLUCENT):
+        # translucent: flip to other side with prob .5
+        flip = (mtype == TRANSLUCENT) & (u_lobe >= 0.5)
+        wi = jnp.where(
+            flip[..., None],
+            wi_diff * jnp.asarray([1.0, 1.0, -1.0], dtype=wo.dtype),
+            wi,
+        )
+
+    specular = (mtype == MIRROR) | ((mtype == GLASS) & ~rough_glass)
 
     # non-specular f/pdf by evaluation
     f_ns = bsdf_eval(params, wo, wi)
     pdf_ns = bsdf_pdf(params, wo, wi)
 
-    # specular values
-    abs_ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-7)
-    # mirror: FresnelNoOp (pbrt MirrorMaterial) -> f = kr/|cos|, pdf = 1
-    f_mirror = params["kr"] / abs_ci[..., None]
-    # glass: reflect with prob F (weight kr), refract with prob 1-F (weight kt * 1/eta_ratio^2 radiance scaling)
-    glass_refl_f = params["kr"] * (f_diel / jnp.maximum(f_diel, 1e-7))[..., None] / abs_ci[..., None]
-    # radiance scaling for transmission (camera rays): (1/eta_ratio)^2 factor
-    scale_t = (1.0 / jnp.maximum(eta_ratio, 1e-7)) ** 2
-    glass_trans_f = params["kt"] * scale_t[..., None] / abs_ci[..., None]
-    f_glass = jnp.where(choose_reflect[..., None], glass_refl_f, glass_trans_f)
-    # pdf for glass branch selection folds into f via the F/(F) trick above:
-    # reflect: f = kr*F/|cos| with pdf=F -> weight kr/|cos|; we set pdf=1 and
-    # pre-divide, so just use the chosen branch weight directly.
-    f_spec = jnp.where((mtype == GLASS)[..., None], f_glass, f_mirror)
-
-    f = jnp.where(specular[..., None], f_spec, f_ns)
-    pdf = jnp.where(specular, 1.0, pdf_ns)
+    f = f_ns
+    pdf = pdf_ns
+    if has(MIRROR, GLASS):
+        abs_ci = jnp.maximum(jnp.abs(wi[..., 2]), 1e-7)
+        # mirror: FresnelNoOp (pbrt MirrorMaterial) -> f = kr/|cos|, pdf = 1
+        f_spec = params["kr"] / abs_ci[..., None]
+        if has(GLASS):
+            # reflect w.p. F (weight kr); refract w.p. 1-F with the
+            # radiance-transport (eta_i/eta_t)^2 scale (pbrt-v3
+            # SpecularTransmission::Sample_f); branch pdf folds into f.
+            glass_refl_f = (
+                params["kr"]
+                * (f_diel / jnp.maximum(f_diel, 1e-7))[..., None]
+                / abs_ci[..., None]
+            )
+            scale_t = eta_ratio * eta_ratio
+            glass_trans_f = params["kt"] * scale_t[..., None] / abs_ci[..., None]
+            f_glass = jnp.where(choose_reflect[..., None], glass_refl_f, glass_trans_f)
+            f_spec = jnp.where((mtype == GLASS)[..., None], f_glass, f_spec)
+        f = jnp.where(specular[..., None], f_spec, f)
+        pdf = jnp.where(specular, 1.0, pdf)
     return wi, f, pdf, specular

@@ -143,3 +143,37 @@ def test_nan_free_and_nonnegative():
     img = res["image"]
     assert np.isfinite(img).all()
     assert (img >= 0).all()
+
+
+GLASS_SCENE = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 8
+Integrator "path" "integer maxdepth" 6
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+LightSource "infinite" "rgb L" [.5 .5 .5]
+Material "glass" "float eta" 1.5 {rough}
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+
+
+def test_smooth_glass_sphere_transmits():
+    """A clear glass sphere in a uniform furnace should stay close to the
+    environment radiance (energy passes through / reflects)."""
+    res = render_string(GLASS_SCENE.format(rough=""))
+    img = res["image"]
+    assert np.isfinite(img).all()
+    center = img[7:9, 7:9].mean(axis=(0, 1))
+    # not black, not blown out; most energy preserved
+    assert 0.25 < center[0] < 0.62
+
+
+def test_rough_glass_sphere_renders():
+    res = render_string(
+        GLASS_SCENE.format(rough='"float uroughness" 0.2 "bool remaproughness" "false"')
+    )
+    img = res["image"]
+    assert np.isfinite(img).all()
+    assert img[7:9, 7:9].mean() > 0.15

@@ -35,7 +35,21 @@ def make_integrator(compiled):
             cos_sample=params.find_one_bool("cossample", True),
             n_samples=params.find_one_int("nsamples", 1),
         )
-    if name in ("bdpt", "mlt", "sppm"):
+    if name == "sppm":
+        from pbrt_tpu.integrators.sppm import SPPMIntegrator
+
+        return SPPMIntegrator(
+            compiled,
+            max_depth=max_depth,
+            n_iterations=params.find_one_int("numiterations", 16),
+            photons_per_iteration=params.find_one_int("photonsperiteration", -1),
+            initial_radius=params.find_one_float("radius", -1.0),
+        )
+    if name == "bdpt":
+        from pbrt_tpu.integrators.bdpt import BDPTIntegrator
+
+        return BDPTIntegrator(compiled, max_depth=max_depth)
+    if name in ("mlt",):
         log.warning(
             "Integrator '%s' not yet implemented on TPU; using path (gap).", name
         )

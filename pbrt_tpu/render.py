@@ -80,6 +80,8 @@ class Renderer:
         sidx_chunks = lane_sidx.reshape(n_chunks, batch)
         masks = mask.reshape(n_chunks, batch)
 
+        if getattr(self.integrator, "custom_render", False):
+            return self.integrator.render(self, spp=spp, progress=progress)
         if state is None:
             state = film.initial_state()
         t0 = time.time()

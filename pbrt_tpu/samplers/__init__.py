@@ -132,11 +132,25 @@ class HaltonSampler(Sampler):
     sequence and computes which global indices land in each pixel; on TPU we
     instead give every pixel the full sequence with an independent random
     rotation — the same convergence order, but the index math is a pure
-    per-lane function with no
-    CRT solve.  Dimensions wrap at 1024 like pbrt's prime table.
+    per-lane function with no CRT solve.
+
+    Past ``QMC_DIM_LIMIT`` dimensions the sampler falls back to counter
+    hashes — pbrt's samplers likewise revert to uniform randoms beyond
+    their array dimensions (§7.2.3), and at depth the high-prime radical
+    inverses cost ~20x a hash for no stratification benefit.
     """
 
+    QMC_DIM_LIMIT = 20
+
     def get(self, pixel_xy, sample_index, dim: int):
+        if dim >= self.QMC_DIM_LIMIT:
+            pc = _pixel_code(pixel_xy)
+            a, _, _ = pcg3d(
+                pc ^ jnp.uint32(self.seed),
+                jnp.asarray(sample_index, jnp.uint32),
+                jnp.uint32(dim),
+            )
+            return u32_to_float(a)
         d = dim % 1024
         pc = _pixel_code(pixel_xy)
         rot_bits = hash_combine(pc, jnp.uint32(d), jnp.uint32(self.seed))

@@ -1,0 +1,55 @@
+"""SPPM integrator: agreement with the path tracer on a simple GI scene."""
+
+import numpy as np
+import pytest
+
+from pbrt_tpu import Options
+from pbrt_tpu.core.api import PbrtAPI
+from pbrt_tpu.render import render_scene
+
+BOX = """
+LookAt 0 1 4  0 1 0  0 1 0
+Camera "perspective" "float fov" 60
+Sampler "halton" "integer pixelsamples" 32
+Integrator "{integ}" {extra} "integer maxdepth" 4
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+WorldBegin
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [8 8 8]
+  Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+    "point P" [ -0.5 2.49 -0.5   0.5 2.49 -0.5   0.5 2.49 0.5   -0.5 2.49 0.5 ]
+AttributeEnd
+Material "matte" "rgb Kd" [0.7 0.7 0.7]
+# floor
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -2.5 0 -2.5   2.5 0 -2.5   2.5 0 2.5   -2.5 0 2.5 ]
+# back wall
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -2.5 0 -2.5   2.5 0 -2.5   2.5 2.5 -2.5   -2.5 2.5 -2.5 ]
+WorldEnd
+"""
+
+
+def render(integ, extra=""):
+    api = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)
+    api.init()
+    api.parse_string(BOX.format(integ=integ, extra=extra))
+    return render_scene(api.scene, api.opt, write=False)["image"]
+
+
+def test_sppm_matches_path_tracer():
+    path_img = render("path")
+    sppm_img = render(
+        "sppm",
+        '"integer numiterations" 24 "integer photonsperiteration" 16384',
+    )
+    assert np.isfinite(sppm_img).all()
+    # compare mean radiance over the directly-lit floor region
+    p = path_img[14:22, 6:18].mean()
+    s = sppm_img[14:22, 6:18].mean()
+    assert s > 0.01
+    np.testing.assert_allclose(s, p, rtol=0.30)
+    # direct emitter view matches closely (same camera machinery)
+    bright_p = path_img.max()
+    bright_s = sppm_img.max()
+    np.testing.assert_allclose(bright_s, bright_p, rtol=0.05)

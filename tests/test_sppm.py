@@ -53,3 +53,12 @@ def test_sppm_matches_path_tracer():
     bright_p = path_img.max()
     bright_s = sppm_img.max()
     np.testing.assert_allclose(bright_s, bright_p, rtol=0.05)
+
+
+def test_bdpt_matches_path_tracer():
+    path_img = render("path")
+    bdpt_img = render("bdpt")
+    assert np.isfinite(bdpt_img).all()
+    p = path_img[14:22, 6:18].mean()
+    b = bdpt_img[14:22, 6:18].mean()
+    np.testing.assert_allclose(b, p, rtol=0.05)

@@ -111,8 +111,9 @@ class Film:
         }
 
     def _filter_support(self):
+        # half-open support (-r, r]: floor(2r)+1 candidate pixels per axis
         rx, ry = self.filter.radius
-        return (int(math.ceil(2 * rx)), int(math.ceil(2 * ry)))
+        return (int(math.floor(2 * rx)) + 1, int(math.floor(2 * ry)) + 1)
 
     def add_samples(self, state, p_film, L_rgb, mask=None, sample_weight=1.0):
         """Accumulate filtered samples (device).
@@ -146,10 +147,16 @@ class Film:
         m = jnp.asarray(np.asarray(spec.RGB_TO_XYZ, dtype=float_t))
         xyz = L_rgb @ m.T
 
+        # half-open support (-r, r] per axis: a sample at an exact pixel
+        # boundary belongs to the pixel it floors into — consistent with the
+        # dense (scatter-free) accumulation path, and never drops samples
+        # with jitter exactly 0 (Halton's first sample).
         px = p_film[..., 0] - 0.5
         py = p_film[..., 1] - 0.5
-        x0 = jnp.ceil(px - rx).astype(jnp.int32)
-        y0 = jnp.ceil(py - ry).astype(jnp.int32)
+        x0 = (jnp.floor(px - rx) + 1).astype(jnp.int32)
+        y0 = (jnp.floor(py - ry) + 1).astype(jnp.int32)
+        x1 = jnp.floor(px + rx).astype(jnp.int32)
+        y1 = jnp.floor(py + ry).astype(jnp.int32)
 
         film_xyz = state["xyz"]
         film_w = state["weight"]
@@ -160,7 +167,7 @@ class Film:
                 pxl_y = y0 + j
                 dx = jnp.abs((pxl_x.astype(float_t) - px) * inv_rx * FILTER_TABLE_WIDTH)
                 dy = jnp.abs((pxl_y.astype(float_t) - py) * inv_ry * FILTER_TABLE_WIDTH)
-                in_support = (dx < FILTER_TABLE_WIDTH) & (dy < FILTER_TABLE_WIDTH)
+                in_support = (pxl_x <= x1) & (pxl_y <= y1)
                 ix = jnp.minimum(dx.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
                 iy = jnp.minimum(dy.astype(jnp.int32), FILTER_TABLE_WIDTH - 1)
                 fweight = tbl[iy, ix] * sample_weight

@@ -46,6 +46,40 @@ class Renderer:
         L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
         return self.film.add_samples(state, p_film, L, mask=lane_mask)
 
+    def _step_impl_dense(self, flat, pixel_xy, sample_index, lane_mask,
+                         pix_start, spp):
+        """Scatter-free film accumulation for box filters with radius <= 0.5.
+
+        Lanes arrive pixel-major with ``spp`` consecutive samples per pixel
+        covering a contiguous row-major range of the (padded) flat film
+        starting at index ``pix_start`` — so accumulation is a reshape-sum
+        plus one dynamic-slice add.  XLA scatters on TPU are slow enough
+        (and slow to compile) that this is a large win for the default
+        filter.  ``flat`` = {"fx": [P,3], "fw": [P]} padded flat film.
+        """
+        import numpy as _np
+
+        from pbrt_tpu.core import spectrum as spec
+
+        sampler = self.sampler
+        u_film = sampler.get2(pixel_xy, sample_index, 0)
+        p_film = pixel_xy.astype(float_t) + u_film
+        u_lens = sampler.get2(pixel_xy, sample_index, 2)
+        o, d, w = self.camera.generate_rays(p_film, u_lens)
+        L = self.integrator.li(sampler, pixel_xy, sample_index, o, d)
+        L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
+        L = jnp.where(lane_mask[..., None], L, 0.0)
+        m = jnp.asarray(_np.asarray(spec.RGB_TO_XYZ, dtype=float_t))
+        xyz = L @ m.T
+        n_pix_chunk = pixel_xy.shape[0] // spp
+        pix_xyz = xyz.reshape(n_pix_chunk, spp, 3).sum(axis=1)
+        pix_w = lane_mask.astype(float_t).reshape(n_pix_chunk, spp).sum(axis=1)
+        cur = jax.lax.dynamic_slice(flat["fx"], (pix_start, 0), (n_pix_chunk, 3))
+        fx = jax.lax.dynamic_update_slice(flat["fx"], cur + pix_xyz, (pix_start, 0))
+        cur_w = jax.lax.dynamic_slice(flat["fw"], (pix_start,), (n_pix_chunk,))
+        fw = jax.lax.dynamic_update_slice(flat["fw"], cur_w + pix_w, (pix_start,))
+        return {"fx": fx, "fw": fw}
+
     def render(self, spp: int | None = None, state=None, progress: bool = True):
         """Sweep all (pixel, sample) pairs as wavefront lanes.
 
@@ -66,6 +100,7 @@ class Renderer:
         lane_sidx = np.tile(np.arange(spp, dtype=np.uint32), n_pix)
         n_lanes = n_pix * spp
         batch = min(self.options.ray_batch, max(1, n_lanes))
+        batch = max(spp, (batch // spp) * spp)  # chunks align to whole pixels
         n_chunks = -(-n_lanes // batch)
         pad = n_chunks * batch - n_lanes
         if pad:
@@ -85,6 +120,53 @@ class Renderer:
         if state is None:
             state = film.initial_state()
         t0 = time.time()
+
+        # dense (scatter-free) path: box filter confined to its own pixel,
+        # chunks aligned to whole pixels
+        rx, ry = film.filter.radius
+        b = film.cropped_pixel_bounds
+        dense = (
+            rx <= 0.5
+            and ry <= 0.5
+            and sample_bounds.p_min == b.p_min
+            and sample_bounds.p_max == b.p_max
+            and batch % spp == 0
+        )
+        if dense:
+            h, wdt = b.height, b.width
+            n_pix_padded = n_chunks * batch // spp
+            fx = jnp.zeros((n_pix_padded, 3), dtype=float_t)
+            fw = jnp.zeros((n_pix_padded,), dtype=float_t)
+            flat = {"fx": fx, "fw": fw}
+            if not hasattr(self, "_step_dense"):
+                self._step_dense = jax.jit(
+                    self._step_impl_dense, static_argnames=("spp",)
+                )
+            pix_per_chunk = batch // spp
+            for ci in range(n_chunks):
+                flat = self._step_dense(
+                    flat,
+                    jnp.asarray(chunks[ci]),
+                    jnp.asarray(sidx_chunks[ci]),
+                    jnp.asarray(masks[ci]),
+                    jnp.int32(ci * pix_per_chunk),
+                    spp,
+                )
+                if progress and (ci == 0 or ci == n_chunks - 1 or (ci + 1) % 8 == 0):
+                    jax.block_until_ready(flat["fw"])
+                    log.info(
+                        "chunk %d/%d (%.2fs elapsed)", ci + 1, n_chunks,
+                        time.time() - t0,
+                    )
+            jax.block_until_ready(flat["fw"])
+            state = {
+                "xyz": state["xyz"] + flat["fx"][: h * wdt].reshape(h, wdt, 3),
+                "weight": state["weight"] + flat["fw"][: h * wdt].reshape(h, wdt),
+                "splat_xyz": state["splat_xyz"],
+            }
+            self.rays_traced += n_pix * spp
+            return state
+
         for ci in range(n_chunks):
             state = self._step(
                 state,

@@ -106,6 +106,9 @@ class MIPMap:
         self._heights = jnp.asarray(np.array([s[1] for s in self.sizes], dtype=np.int32))
 
     # -- device lookup -----------------------------------------------------
+    # All lookups accept ``flat``: an override of the packed pyramid array
+    # (same shape as self._flat).  Passing a differentiable array here makes
+    # texel values gradient targets (inverse rendering of textures).
 
     def _wrap_coords(self, i, n):
         if self.wrap == WRAP_REPEAT:
@@ -115,7 +118,7 @@ class MIPMap:
         valid = (i >= 0) & (i < n)
         return jnp.clip(i, 0, n - 1), valid
 
-    def _texel(self, level, s_idx, t_idx):
+    def _texel(self, level, s_idx, t_idx, flat=None):
         """Gather texels at integer coords for per-lane levels [N]."""
         w = self._widths[level]
         h = self._heights[level]
@@ -123,11 +126,12 @@ class MIPMap:
         si, s_ok = self._wrap_coords(s_idx, w)
         ti, t_ok = self._wrap_coords(t_idx, h)
         idx = off + ti * w + si
-        tex = self._flat[idx]
+        src = self._flat if flat is None else flat
+        tex = src[idx]
         ok = (s_ok & t_ok)[..., None]
         return jnp.where(ok, tex, 0.0)
 
-    def _bilerp(self, level, s, t):
+    def _bilerp(self, level, s, t, flat=None):
         """Bilinear lookup at continuous (s,t) in [0,1] for level [N]."""
         w = self._widths[level].astype(float_t)
         h = self._heights[level].astype(float_t)
@@ -138,28 +142,28 @@ class MIPMap:
         ds = (fs - s0)[..., None]
         dt = (ft - t0)[..., None]
         return (
-            (1 - ds) * (1 - dt) * self._texel(level, s0, t0)
-            + (1 - ds) * dt * self._texel(level, s0, t0 + 1)
-            + ds * (1 - dt) * self._texel(level, s0 + 1, t0)
-            + ds * dt * self._texel(level, s0 + 1, t0 + 1)
+            (1 - ds) * (1 - dt) * self._texel(level, s0, t0, flat)
+            + (1 - ds) * dt * self._texel(level, s0, t0 + 1, flat)
+            + ds * (1 - dt) * self._texel(level, s0 + 1, t0, flat)
+            + ds * dt * self._texel(level, s0 + 1, t0 + 1, flat)
         )
 
-    def lookup(self, s, t, width=None):
+    def lookup(self, s, t, width=None, flat=None):
         """Trilinear filtered lookup; ``width`` is the filter footprint in
         [0,1] texture space per lane (None -> finest level)."""
         s = jnp.asarray(s)
         t = jnp.asarray(t)
         if width is None:
             lvl = jnp.zeros(s.shape, dtype=jnp.int32)
-            out = self._bilerp(lvl, s, t)
+            out = self._bilerp(lvl, s, t, flat)
         else:
             width = jnp.maximum(jnp.asarray(width), 1e-8)
             level = self.n_levels - 1 + jnp.log2(width)
             level = jnp.clip(level, 0.0, self.n_levels - 1 - 1e-4)
             l0 = jnp.floor(level).astype(jnp.int32)
             dl = (level - l0)[..., None]
-            out = (1 - dl) * self._bilerp(l0, s, t) + dl * self._bilerp(
-                jnp.minimum(l0 + 1, self.n_levels - 1), s, t
+            out = (1 - dl) * self._bilerp(l0, s, t, flat) + dl * self._bilerp(
+                jnp.minimum(l0 + 1, self.n_levels - 1), s, t, flat
             )
         if self.channels == 1:
             return out[..., 0]

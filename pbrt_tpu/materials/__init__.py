@@ -223,6 +223,9 @@ def eval_material_params(entries, mat_id, si, theta=None):
     # is pruned from the compiled program entirely
     params["_active"] = frozenset(e.type_id for e in entries)
 
+    if theta is not None and "tex_images" in theta:
+        si = {**si, "_tex": theta["tex_images"]}
+
     safe_id = jnp.clip(mat_id, 0, max(len(entries) - 1, 0))
     for k, e in enumerate(entries):
         mask = mat_id == k

@@ -75,6 +75,15 @@ class CompiledScene:
         theta["area_l"] = jnp.asarray(
             np.stack(area) if area else np.zeros((0, 3), dtype=float_t)
         )
+        # texel-level image-texture parameters: {tex_id: flat pyramid}
+        from pbrt_tpu.textures.imagemap import ImageTexture
+
+        tex_images = {}
+        for e in self.materials:
+            for tex in e.textures.values():
+                if isinstance(tex, ImageTexture):
+                    tex_images[tex.tex_id] = tex.mipmap._flat
+        theta["tex_images"] = tex_images
         return theta
 
 

@@ -18,11 +18,16 @@ from pbrt_tpu.core.mipmap import MIPMap, WRAP_NAMES, WRAP_REPEAT
 log = logging.getLogger("pbrt_tpu")
 
 
+_TEX_ID_COUNTER = [0]
+
+
 class ImageTexture:
     def __init__(self, mapping, filename: str, do_trilinear=True, max_aniso=8.0,
                  wrap="repeat", scale=1.0, gamma=None, spectral=True):
         self.mapping = mapping
         self.spectral = spectral
+        self.tex_id = _TEX_ID_COUNTER[0]
+        _TEX_ID_COUNTER[0] += 1
         try:
             img, (w, h) = read_image(filename)
         except (OSError, ValueError) as e:
@@ -51,7 +56,9 @@ class ImageTexture:
         s = s - jnp_floor_if_repeat(s, self.mipmap.wrap)
         t2 = t - jnp_floor_if_repeat(t, self.mipmap.wrap)
         width = si.get("tex_width")
-        return self.mipmap.lookup(s, t2, width)
+        # differentiable texel override (theta["tex_images"][tex_id])
+        flat = si.get("_tex", {}).get(self.tex_id)
+        return self.mipmap.lookup(s, t2, width, flat=flat)
 
 
 def jnp_floor_if_repeat(x, wrap):

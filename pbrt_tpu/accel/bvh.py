@@ -110,12 +110,21 @@ def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
 
 
 class BVHIntersector:
-    """Skip-link BVH for triangles + brute-force spheres."""
+    """Skip-link BVH for triangles + brute-force spheres.
 
-    def __init__(self, tri_data, sph_data, leaf_size=LEAF_SIZE):
+    Backend dispatch (measured): the per-lane-gather XLA while_loop
+    traversal is fine on CPU but catastrophic on TPU (~0.01 Mray/s — TPU
+    gathers serialize), so on accelerator backends traversal runs the
+    Pallas packet kernel (ops/pallas_bvh.py) with rays pre-sorted by
+    direction octant + origin Morton code for packet coherence.
+    """
+
+    def __init__(self, tri_data, sph_data, leaf_size=LEAF_SIZE,
+                 use_pallas=None, pallas_interpret=False):
         self.n_tri = tri_data.count if tri_data is not None else 0
         self.n_sph = sph_data.count if sph_data is not None else 0
         self._sph_brute = None
+        self._pallas = None
         if self.n_sph:
             self._sph_brute = SoABruteForceIntersector(None, sph_data)
         if self.n_tri:
@@ -141,10 +150,69 @@ class BVHIntersector:
             )
             self.perm = jnp.asarray(perm.astype(np.int32))
             self.leaf_size = leaf_size
+            if use_pallas is None:
+                use_pallas = jax.default_backend() not in ("cpu",)
+            vmem_bytes = len(mins) * 48 + self.n_tri * 64
+            if use_pallas and vmem_bytes < 12 * 1024 * 1024:
+                from pbrt_tpu.ops.pallas_bvh import PallasBVH
+
+                self._pallas = PallasBVH(
+                    mins, maxs, skips, firsts, counts,
+                    tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
+                    interpret=pallas_interpret,
+                )
+            # scene bounds for Morton-coded ray sorting
+            self._scene_min = jnp.asarray(mins[0])
+            self._scene_extent = jnp.asarray(
+                np.maximum(maxs[0] - mins[0], 1e-6)
+            )
 
     # -- device kernels ----------------------------------------------------
 
+    @staticmethod
+    def _part1by2(v):
+        """Spread 10 bits to every 3rd bit (Morton encoding helper)."""
+        v = v & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    def _sort_keys(self, o, d):
+        """Direction-octant (high bits) + origin Morton code (low bits)."""
+        octant = (
+            (d[..., 0] < 0).astype(jnp.uint32) * 4
+            + (d[..., 1] < 0).astype(jnp.uint32) * 2
+            + (d[..., 2] < 0).astype(jnp.uint32)
+        )
+        q = jnp.clip(
+            (o - self._scene_min) / self._scene_extent, 0.0, 0.999999
+        )
+        qi = (q * 512.0).astype(jnp.uint32)  # 9 bits per axis
+        morton = (
+            self._part1by2(qi[..., 0])
+            | (self._part1by2(qi[..., 1]) << 1)
+            | (self._part1by2(qi[..., 2]) << 2)
+        )
+        return (octant << 27) | (morton & jnp.uint32(0x07FFFFFF))
+
+    def _traverse_pallas_sorted(self, o, d, t_max, any_hit):
+        """Sort rays for packet coherence, run the Pallas kernel, unsort."""
+        keys = self._sort_keys(o, d)
+        order = jnp.argsort(keys)
+        inv = jnp.argsort(order)
+        t, prim, b0, b1 = self._pallas.traverse(
+            o[order], d[order], t_max[order], any_hit=any_hit
+        )
+        return t[inv], prim[inv], b0[inv], b1[inv]
+
     def _traverse(self, o, d, t_max, any_hit: bool):
+        if self._pallas is not None:
+            return self._traverse_pallas_sorted(o, d, t_max, any_hit)
+        return self._traverse_xla(o, d, t_max, any_hit)
+
+    def _traverse_xla(self, o, d, t_max, any_hit: bool):
         n = o.shape[0]
         m = self.n_nodes
         ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]

@@ -158,3 +158,23 @@ def test_native_tokenizer_parity():
     native = [data[s:e].decode() for s, e in zip(st, en)]
     python = list(create_from_string(data))
     assert native == python
+
+
+def test_sorted_pallas_traversal_matches_brute():
+    """The TPU packet-traversal path (Pallas kernel + Morton ray sort) in
+    interpret mode must agree exactly with brute force."""
+    tri = random_mesh(800, seed=4)
+    bvh = BVHIntersector(tri, None, use_pallas=True, pallas_interpret=True)
+    brute = BruteForceIntersector(tri, None)
+    o, d = random_rays(2048, seed=9)
+    tm = jnp.full((2048,), 1e8, jnp.float32)
+    hp = bvh.intersect(o, d, tm)
+    hb = jax.jit(brute.intersect)(o, d, tm)
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(hp["hit"]))
+    m = np.asarray(hb["hit"])
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[m], np.asarray(hp["t"])[m], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb["prim"])[m], np.asarray(hp["prim"])[m]
+    )

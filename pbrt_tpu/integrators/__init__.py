@@ -49,14 +49,16 @@ def make_integrator(compiled):
         from pbrt_tpu.integrators.bdpt import BDPTIntegrator
 
         return BDPTIntegrator(compiled, max_depth=max_depth)
-    if name in ("mlt",):
-        log.warning(
-            "Integrator '%s' not yet implemented on TPU; using path (gap).", name
-        )
-        if compiled.media:
-            from pbrt_tpu.integrators.volpath import VolPathIntegrator
+    if name == "mlt":
+        from pbrt_tpu.integrators.mlt import MLTIntegrator
 
-            return VolPathIntegrator(compiled, max_depth, 1.0)
-        return PathIntegrator(compiled, max_depth, 1.0)
+        return MLTIntegrator(
+            compiled,
+            max_depth=max_depth,
+            n_bootstrap=params.find_one_int("bootstrapsamples", 4096),
+            mutations_per_pixel=params.find_one_int("mutationsperpixel", 32),
+            large_step_prob=params.find_one_float("largestepprobability", 0.3),
+            sigma=params.find_one_float("sigma", 0.01),
+        )
     log.warning("Integrator '%s' unknown; using path.", name)
     return PathIntegrator(compiled, max_depth, 1.0)

@@ -1,0 +1,206 @@
+"""Metropolis light transport in primary sample space (PSSMLT).
+
+pbrt-v3's MLT (§16.4) runs Markov chains over Kelemen-style primary sample
+vectors.  This maps remarkably well onto the wavefront design: every lane
+is an independent chain, a "sampler" that reads from an explicit [N, D]
+table feeds the unmodified path integrator, and mutations/accepts are
+dense vector ops.  Contributions are splatted through the film's splat
+channel (film.rs add_splat — completed here) and normalized by the
+bootstrap estimate b of the average luminance.
+
+Divergence from pbrt-v3 (documented): the underlying path distribution is
+the unidirectional path tracer with NEE rather than BDPT strategies, so
+this is Kelemen-style PSSMLT; the Markov machinery (two-scale mutations,
+large steps, bootstrap normalization, expected-value splatting) follows
+pbrt §16.4.3-16.4.5.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pbrt_tpu import float_t
+from pbrt_tpu.core.rng import hash_combine, pcg3d, u32_to_float
+from pbrt_tpu.integrators.path import PathIntegrator
+
+log = logging.getLogger("pbrt_tpu")
+
+
+class TableSampler:
+    """Sampler facade reading dimension d from an explicit [N, D] table."""
+
+    samples_per_pixel = 1
+
+    def __init__(self, table):
+        self.table = table
+
+    def get(self, pixel_xy, sample_index, dim: int):
+        d = self.table.shape[1]
+        if dim < d:
+            return self.table[:, dim]
+        # overflow dims: decorrelated hashes of (lane, dim)
+        lane = jnp.arange(self.table.shape[0], dtype=jnp.uint32)
+        a, _, _ = pcg3d(lane, jnp.uint32(dim), jnp.uint32(0x51))
+        return u32_to_float(a)
+
+    def get2(self, pixel_xy, sample_index, dim: int):
+        return jnp.stack(
+            [self.get(pixel_xy, sample_index, dim),
+             self.get(pixel_xy, sample_index, dim + 1)],
+            axis=-1,
+        )
+
+
+class MLTIntegrator(PathIntegrator):
+    custom_render = True
+
+    def __init__(self, compiled, max_depth=5, n_bootstrap=4096,
+                 mutations_per_pixel=32, large_step_prob=0.3,
+                 sigma=0.01, n_chains_cap=1 << 16):
+        super().__init__(compiled, max_depth)
+        self.n_bootstrap = int(n_bootstrap)
+        self.mutations_per_pixel = int(mutations_per_pixel)
+        self.p_large = float(large_step_prob)
+        self.sigma = float(sigma)
+        self.n_chains_cap = int(n_chains_cap)
+        self.n_dims = 5 + 7 * self.max_depth
+
+    # -- sample-vector -> radiance ------------------------------------------
+
+    def _evaluate(self, u, film):
+        """u: [N, D] primary samples -> (p_film [N,2], L [N,3], f [N])."""
+        n = u.shape[0]
+        b = film.cropped_pixel_bounds
+        fx = b.p_min[0] + u[:, 0] * b.width
+        fy = b.p_min[1] + u[:, 1] * b.height
+        p_film = jnp.stack([fx, fy], axis=-1)
+        pixel_xy = jnp.floor(p_film).astype(jnp.int32)
+        sidx = jnp.zeros((n,), jnp.uint32)
+        sampler = TableSampler(u)
+        o, d, w = self.c.camera.generate_rays(
+            p_film, sampler.get2(pixel_xy, sidx, 2)
+        )
+        L = self.li(sampler, pixel_xy, sidx, o, d)
+        L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
+        f = (
+            0.212671 * L[..., 0] + 0.715160 * L[..., 1] + 0.072169 * L[..., 2]
+        )
+        return p_film, L, jnp.maximum(f, 0.0)
+
+    @staticmethod
+    def _uniform(n, d, key):
+        lane = jnp.arange(n, dtype=jnp.uint32)[:, None]
+        dim = jnp.arange(d, dtype=jnp.uint32)[None, :]
+        a, _, _ = pcg3d(lane + jnp.uint32(key) * jnp.uint32(0x9E37),
+                        dim, jnp.uint32(key))
+        return u32_to_float(a)
+
+    def _mutate(self, u, key):
+        """Kelemen two-scale exponential perturbation (pbrt §16.4.3)."""
+        n, d = u.shape
+        lane = jnp.arange(n, dtype=jnp.uint32)[:, None]
+        dim = jnp.arange(d, dtype=jnp.uint32)[None, :]
+        a, b2, _ = pcg3d(lane ^ jnp.uint32(key), dim + jnp.uint32(17),
+                         jnp.uint32(key) + jnp.uint32(3))
+        u1 = u32_to_float(a)
+        u2 = u32_to_float(b2)
+        s1, s2 = 1.0 / 1024.0, 1.0 / 64.0
+        dv = s2 * jnp.exp(-jnp.log(s2 / s1) * u1)
+        new = jnp.where(u2 < 0.5, u + dv, u - dv)
+        new = new - jnp.floor(new)  # wrap to [0,1)
+        return new
+
+    # -- main ---------------------------------------------------------------
+
+    def render(self, renderer, spp=None, progress=True):
+        import time
+
+        film = renderer.film
+        b = film.cropped_pixel_bounds
+        n_pix = b.area()
+        n_chains = min(self.n_chains_cap, max(1024, n_pix))
+        muts = self.mutations_per_pixel if spp is None else max(4, int(spp))
+        n_iters = max(8, n_pix * muts // n_chains)
+        d = self.n_dims
+
+        # bootstrap: estimate b = E[f] over uniform primary samples and
+        # collect candidates for f-proportional chain initialization
+        boot_rounds = max(2, self.n_bootstrap // n_chains)
+        eval_j = jax.jit(lambda u: self._evaluate(u, film))
+        boot_us = []
+        boot_fs = []
+        for r in range(boot_rounds):
+            ub = self._uniform(n_chains, d, 1000 + r)
+            _, _, fb = eval_j(ub)
+            boot_us.append(ub)
+            boot_fs.append(fb)
+        boot_u = jnp.concatenate(boot_us, axis=0)
+        boot_f = jnp.concatenate(boot_fs, axis=0)
+        b_norm = float(jnp.mean(boot_f))
+        if b_norm <= 0:
+            log.warning("MLT bootstrap found no light-carrying paths")
+            return film.initial_state()
+
+        # start chains in the stationary distribution: categorical draw
+        # proportional to bootstrap f (pbrt §16.4.4 chain seeding)
+        cdf = jnp.cumsum(boot_f)
+        cdf = cdf / cdf[-1]
+        lane = jnp.arange(n_chains, dtype=jnp.uint32)
+        pick_bits, _, _ = pcg3d(lane, jnp.uint32(0xC0FFEE), jnp.uint32(7))
+        picks = jnp.searchsorted(cdf, u32_to_float(pick_bits))
+        picks = jnp.clip(picks, 0, boot_f.shape[0] - 1)
+        u = boot_u[picks]
+        f = boot_f[picks]
+
+        @jax.jit
+        def step(u, f, state_splat, key):
+            large_u = self._uniform(n_chains, d, key * 2 + 11)
+            lane = jnp.arange(n_chains, dtype=jnp.uint32)
+            sel, acc_bits, _ = pcg3d(lane, jnp.uint32(key), jnp.uint32(0xAB))
+            is_large = u32_to_float(sel) < self.p_large
+            u_prop = jnp.where(is_large[:, None], large_u, self._mutate(u, key))
+            p_new, L_new, f_new = self._evaluate(u_prop, film)
+            p_old, L_old, f_old = self._evaluate(u, film)
+            a = jnp.minimum(1.0, f_new / jnp.maximum(f_old, 1e-12))
+            a = jnp.where(f_old <= 0, 1.0, a)
+            # expected-value splats (pbrt 16.4.5): old with (1-a), new with a
+            w_new = a / jnp.maximum(f_new, 1e-12)
+            w_old = (1.0 - a) / jnp.maximum(f_old, 1e-12)
+            state_splat = film.add_splats(
+                state_splat, p_new, L_new * w_new[..., None],
+                mask=f_new > 0,
+            )
+            state_splat = film.add_splats(
+                state_splat, p_old, L_old * w_old[..., None],
+                mask=f_old > 0,
+            )
+            accept = u32_to_float(acc_bits) < a
+            u = jnp.where(accept[:, None], u_prop, u)
+            f = jnp.where(accept, f_new, f)
+            return u, f, state_splat
+
+        state = film.initial_state()
+        t0 = time.time()
+        for it in range(n_iters):
+            u, f, state = step(u, f, state, it + 1)
+            if progress and (it == 0 or it == n_iters - 1):
+                jax.block_until_ready(f)
+                log.info("MLT iteration %d/%d (%.1fs)", it + 1, n_iters,
+                         time.time() - t0)
+        jax.block_until_ready(state["splat_xyz"])
+
+        # normalization: each pixel's estimate = splat * b / samplesPerPixel
+        # where total splats = n_chains * n_iters over n_pix pixels
+        splat_scale = b_norm * n_pix / (n_chains * n_iters)
+        # bake the scale into the state so write_image(splat_scale=1) works
+        state = {
+            "xyz": state["xyz"],
+            "weight": state["weight"],
+            "splat_xyz": state["splat_xyz"] * splat_scale,
+        }
+        return state

@@ -62,3 +62,12 @@ def test_bdpt_matches_path_tracer():
     p = path_img[14:22, 6:18].mean()
     b = bdpt_img[14:22, 6:18].mean()
     np.testing.assert_allclose(b, p, rtol=0.05)
+
+
+def test_mlt_matches_path_tracer():
+    path_img = render("path")
+    mlt_img = render("mlt")
+    assert np.isfinite(mlt_img).all()
+    p = path_img[14:22, 6:18].mean()
+    m = mlt_img[14:22, 6:18].mean()
+    np.testing.assert_allclose(m, p, rtol=0.10)

@@ -323,6 +323,10 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             "med_in": jnp.asarray(tri_med_in_arr),
             "med_out": jnp.asarray(tri_med_out_arr),
         }
+        if tri_data.tan0 is not None:
+            tables["tri"]["tan0"] = jnp.asarray(tri_data.tan0)
+            tables["tri"]["tan1"] = jnp.asarray(tri_data.tan1)
+            tables["tri"]["tan2"] = jnp.asarray(tri_data.tan2)
     if sph_data is not None:
         tables["sph"] = {
             "o2w": jnp.asarray(sph_data.o2w.astype(float_t)),
@@ -423,6 +427,14 @@ def compute_interaction(tables, hit, o, d):
         if "med_in" in tr:
             med_in = jnp.where(is_tri, tr["med_in"][idx], med_in)
             med_out = jnp.where(is_tri, tr["med_out"][idx], med_out)
+        if "tan0" in tr:
+            # curve tangent (hair shading); zero on non-curve triangles
+            tang_t = (
+                b2[..., None] * tr["tan0"][idx]
+                + b0[..., None] * tr["tan1"][idx]
+                + b1[..., None] * tr["tan2"][idx]
+            )
+            tang = jnp.where(m, tang_t, jnp.zeros((n, 3), dtype=dt))
 
     if "sph" in tables:
         sp = tables["sph"]
@@ -456,7 +468,7 @@ def compute_interaction(tables, hit, o, d):
         uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
         mat = jnp.where(is_sph, sp["mat"][idx], mat)
 
-    return {
+    out = {
         "p": p,
         "ng": ng,
         "ns": ns,
@@ -467,3 +479,6 @@ def compute_interaction(tables, hit, o, d):
         "med_out": med_out,
         "wo": -d,
     }
+    if "tri" in tables and "tan0" in tables["tri"]:
+        out["tang"] = tang
+    return out

@@ -36,6 +36,9 @@ class TriangleData:
     n0: Optional[np.ndarray] = None  # shading normals (world), or None
     n1: Optional[np.ndarray] = None
     n2: Optional[np.ndarray] = None
+    tan0: Optional[np.ndarray] = None  # curve tangents (world), hair shading
+    tan1: Optional[np.ndarray] = None
+    tan2: Optional[np.ndarray] = None
 
     @property
     def count(self) -> int:
@@ -310,13 +313,18 @@ def make_shape(name: str, params, o2w, reverse: bool):
             return np.cross(du, dv)
 
         return _grid_mesh(o2w, reverse, None, pfn, nfn, TESS_U, TESS_V, (0, phi_max), (0, 1), True)
-    if name in ("curve", "nurbs", "loopsubdiv"):
-        if name == "loopsubdiv":
-            from pbrt_tpu.shapes.loopsubdiv import loop_subdivide
+    if name == "loopsubdiv":
+        from pbrt_tpu.shapes.loopsubdiv import loop_subdivide
 
-            return loop_subdivide(params, o2w, reverse)
-        log.warning("Shape '%s' not yet supported on TPU; skipping", name)
-        return None
+        return loop_subdivide(params, o2w, reverse)
+    if name == "curve":
+        from pbrt_tpu.shapes.curve import make_curve
+
+        return make_curve(params, o2w, reverse)
+    if name == "nurbs":
+        from pbrt_tpu.shapes.nurbs import make_nurbs
+
+        return make_nurbs(params, o2w, reverse)
     log.error("Shape '%s' unknown.", name)
     return None
 
@@ -338,6 +346,18 @@ def concat_triangle_data(parts):
         return ng, ng, ng
 
     n0s, n1s, n2s = zip(*(normals_of(p) for p in parts))
+
+    def tangents_of(td):
+        # zero tangent marks "not a curve"; hair lanes never read these
+        if td.tan0 is not None:
+            return td.tan0, td.tan1, td.tan2
+        z = np.zeros_like(td.p0)
+        return z, z, z
+
+    has_tan = any(p.tan0 is not None for p in parts)
+    t0s = t1s = t2s = None
+    if has_tan:
+        t0s, t1s, t2s = zip(*(tangents_of(p) for p in parts))
     return TriangleData(
         p0=np.concatenate([p.p0 for p in parts]),
         p1=np.concatenate([p.p1 for p in parts]),
@@ -348,4 +368,7 @@ def concat_triangle_data(parts):
         n0=np.concatenate(n0s),
         n1=np.concatenate(n1s),
         n2=np.concatenate(n2s),
+        tan0=np.concatenate(t0s) if has_tan else None,
+        tan1=np.concatenate(t1s) if has_tan else None,
+        tan2=np.concatenate(t2s) if has_tan else None,
     )

@@ -83,6 +83,10 @@ class MaterialRecord:
     float_textures: Dict[str, Any]
     spectrum_textures: Dict[str, Any]
     named: Optional[str] = None  # set when NamedMaterial is active
+    # "mix" materials: the two child records, resolved against the
+    # named-material registry at record time (pbrt-v3 api.cpp MakeMaterial
+    # looks up namedmaterial1/2 when the material is created)
+    mix_children: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -185,7 +189,21 @@ class _GraphicsState:
             params=self.material_params.copy(),
             float_textures=dict(self.float_textures),
             spectrum_textures=dict(self.spectrum_textures),
+            mix_children=self._resolve_mix(self.material_name, self.material_params),
         )
+
+    def _resolve_mix(self, name: str, params) -> Optional[tuple]:
+        if name != "mix":
+            return None
+        m1 = params.find_one_string("namedmaterial1", "")
+        m2 = params.find_one_string("namedmaterial2", "")
+        c1 = self.named_materials.get(m1)
+        c2 = self.named_materials.get(m2)
+        if c1 is None:
+            log.error("Named material '%s' undefined (mix child 1)", m1)
+        if c2 is None:
+            log.error("Named material '%s' undefined (mix child 2)", m2)
+        return (c1, c2)
 
 
 class PbrtAPI:
@@ -499,6 +517,7 @@ class PbrtAPI:
             float_textures=dict(self.graphics_state.float_textures),
             spectrum_textures=dict(self.graphics_state.spectrum_textures),
             named=name,
+            mix_children=self.graphics_state._resolve_mix(mat_type, params),
         )
 
     def named_material(self, name: str) -> None:

@@ -218,6 +218,27 @@ def coordinate_system(v1):
     return v2, v3
 
 
+def shading_frame(si, wo):
+    """Face-forwarded shading frame (ns, ss, ts) for a wavefront interaction.
+
+    Curve lanes (``si["tang"]`` nonzero) align ss (local x) with the fiber
+    tangent — the frame the hair BSDF requires (pbrt-v3 builds its BSDF frame
+    from dpdu, which for curves is the spine direction).  Other lanes keep the
+    branchless default basis; the table is only present when a scene contains
+    curves, so non-curve scenes compile to the plain two-op path.
+    """
+    ns = vface_forward(si["ns"], wo)
+    ss, ts = coordinate_system(ns)
+    tang = si.get("tang") if isinstance(si, dict) else None
+    if tang is not None:
+        t_perp = tang - jnp.sum(tang * ns, axis=-1, keepdims=True) * ns
+        t_len = jnp.linalg.norm(t_perp, axis=-1, keepdims=True)
+        use = (jnp.sum(tang * tang, axis=-1) > 1e-12) & (t_len[..., 0] > 1e-9)
+        ss = jnp.where(use[..., None], t_perp / jnp.maximum(t_len, 1e-12), ss)
+        ts = jnp.where(use[..., None], jnp.cross(ns, ss), ts)
+    return ns, ss, ts
+
+
 def spherical_direction(sin_theta, cos_theta, phi):
     return jnp.stack(
         [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta], axis=-1

@@ -395,6 +395,24 @@ class TextureParams:
                 return ConstantTexture(np.asarray(ps.find_one_float(name, default), dtype=float_t))
         return ConstantTexture(np.asarray(default, dtype=float_t))
 
+    def get_spectrum_texture_or_none(self, name):
+        from pbrt_tpu.textures.constant import ConstantTexture
+
+        for ps in (self.geom_params, self.material_params):
+            if ps.kind_of(name) == TEXTURE:
+                tex_name = ps.find_one_texture(name, "")
+                tex = self.spectrum_textures.get(tex_name)
+                if tex is not None:
+                    return tex
+                log.error("Couldn't find spectrum texture named '%s' for parameter '%s'", tex_name, name)
+                return None
+            if ps.kind_of(name) == SPECTRUM:
+                return ConstantTexture(ps.find_one_spectrum(name, np.zeros(3, dtype=float_t)))
+            if ps.kind_of(name) == FLOAT:
+                v = ps.find_one_float(name, 0.0)
+                return ConstantTexture(np.array([v, v, v], dtype=float_t))
+        return None
+
     def get_float_texture_or_none(self, name):
         from pbrt_tpu.textures.constant import ConstantTexture
 

@@ -17,6 +17,13 @@ def make_integrator(compiled):
     max_depth = params.find_one_int("maxdepth", 5)
     if name == "path":
         rr_threshold = params.find_one_float("rrthreshold", 1.0)
+        if getattr(compiled, "media", None):
+            # the scene carries participating media (including synthesized
+            # subsurface interiors); pbrt's path integrator handles BSSRDFs
+            # in-line, ours routes all volumetric transport through volpath
+            from pbrt_tpu.integrators.volpath import VolPathIntegrator
+
+            return VolPathIntegrator(compiled, max_depth, rr_threshold)
         return PathIntegrator(compiled, max_depth, rr_threshold)
     if name == "directlighting":
         return DirectLightingIntegrator(compiled, max_depth)

@@ -29,7 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pbrt_tpu import PI, float_t
-from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+from pbrt_tpu.core.geometry import coordinate_system, shading_frame, vface_forward
 from pbrt_tpu.core.sampling import cosine_sample_hemisphere
 from pbrt_tpu.integrators.path import INF_T, SHADOW_EPS, PathIntegrator, _to_local, _to_world
 from pbrt_tpu.materials import eval_material_params
@@ -106,7 +106,7 @@ class BDPTIntegrator(PathIntegrator):
             alive = alive & hit["hit"]
             si = compute_interaction(c.tables, hit, o, d)
             wo = si["wo"]
-            ns = vface_forward(si["ns"], wo)
+            ns, ss, ts = shading_frame(si, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
             params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0
 
@@ -124,7 +124,6 @@ class BDPTIntegrator(PathIntegrator):
 
             if k == n_verts - 1:
                 break
-            ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
             u_lobe = sampler.get(key_xy, sidx, base + 3)
             u_b = sampler.get2(key_xy, sidx, base + 4)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pbrt_tpu import float_t
-from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+from pbrt_tpu.core.geometry import coordinate_system, shading_frame, vface_forward
 from pbrt_tpu.core.sampling import power_heuristic
 from pbrt_tpu.materials import eval_material_params
 from pbrt_tpu.materials import bsdf as B
@@ -219,8 +219,7 @@ class PathIntegrator:
                 return (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d)
 
             # --- shading frame + material params -------------------------
-            ns = vface_forward(si["ns"], wo)
-            ss, ts = coordinate_system(ns)
+            ns, ss, ts = shading_frame(si, wo)
             wo_l = _to_local(ns, ss, ts, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
             # true medium side (pre-face-forward orientation) for dielectrics

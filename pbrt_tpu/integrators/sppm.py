@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from pbrt_tpu import PI, float_t
-from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+from pbrt_tpu.core.geometry import shading_frame, coordinate_system, vface_forward
 from pbrt_tpu.core.sampling import cosine_sample_hemisphere, uniform_sample_sphere
 from pbrt_tpu.integrators.path import INF_T, SHADOW_EPS, PathIntegrator, _to_local, _to_world
 from pbrt_tpu.materials import eval_material_params
@@ -86,7 +86,7 @@ class SPPMIntegrator(PathIntegrator):
             if c.area_lights:
                 le = self._emitted(si, wo, theta)
                 L = L + jnp.where(alive[..., None], beta * le, 0.0)
-            ns = vface_forward(si["ns"], wo)
+            ns, ss, ts = shading_frame(si, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
             params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0
             is_diffuse = (
@@ -103,7 +103,6 @@ class SPPMIntegrator(PathIntegrator):
             found = found | newly
             alive = alive & ~newly  # diffuse lanes stop; specular continue
 
-            ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
 
             # direct lighting at the visible point (pbrt-v3 sppm.cpp does
@@ -240,7 +239,7 @@ class SPPMIntegrator(PathIntegrator):
             alive = alive & hit["hit"]
             si = compute_interaction(c.tables, hit, o, d)
             wo = si["wo"]
-            ns = vface_forward(si["ns"], wo)
+            ns, ss, ts = shading_frame(si, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
             params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0
             diffuse = (
@@ -256,7 +255,6 @@ class SPPMIntegrator(PathIntegrator):
 
             if bounce == self.max_depth - 1:
                 break
-            ss, ts = coordinate_system(ns)
             wo_l = _to_local(ns, ss, ts, wo)
             u_lobe = sampler.get(pkey, sidx, base + 3)
             u_b = sampler.get2(pkey, sidx, base + 4)

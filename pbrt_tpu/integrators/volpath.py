@@ -30,7 +30,7 @@ from pbrt_tpu.materials import eval_material_params
 from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu.media import hg_phase, hg_sample
 from pbrt_tpu.scene.builder import compute_interaction
-from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+from pbrt_tpu.core.geometry import shading_frame, coordinate_system, vface_forward
 
 N_DIMS_PER_BOUNCE = 10
 
@@ -126,8 +126,7 @@ class VolPathIntegrator(PathIntegrator):
             p_vertex = jnp.where(scattered[..., None], p_med, si["p"])
 
             # ---- NEE (both surface and medium vertices) ------------------
-            ns = vface_forward(si["ns"], wo)
-            ss, ts = coordinate_system(ns)
+            ns, ss, ts = shading_frame(si, wo)
             wo_l = _to_local(ns, ss, ts, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
             params["outside"] = jnp.sum(si["ns"] * wo, axis=-1) > 0.0

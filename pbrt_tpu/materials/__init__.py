@@ -39,6 +39,15 @@ class MaterialEntry:
     metal_eta: np.ndarray = None
     metal_k: np.ndarray = None
     eta_const: float = 1.5
+    # hair-only fields (pbrt-v3 HairMaterial): pigment source + cuticle tilt
+    hair_mode: str = ""  # "sigma_a" | "color" | "melanin"
+    hair_sigma_a: np.ndarray = None  # for melanin mode (precomputed RGB)
+    hair_alpha: float = 2.0  # scale tilt, degrees
+    # mix-only fields (pbrt-v3 MixMaterial): two child entries + blend tex
+    mix_children: Optional[tuple] = None  # (MaterialEntry, MaterialEntry)
+    mix_amount: object = None  # spectrum texture, default 0.5
+    # fourier-only field: loaded .bsdf table (materials/fourier.py)
+    fourier_table: object = None
 
 
 _SPECTRUM_SLOTS = ("kd", "ks", "kr", "kt")
@@ -146,9 +155,91 @@ def build_material(record) -> MaterialEntry:
                 "roughness": float_tex("roughness", 0.5),
             },
         )
-    if name in ("fourier", "hair", "kdsubsurface", "subsurface", "mix"):
-        log.warning("Material '%s' approximated by matte on TPU (round-1 gap)", name)
-        return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
+    if name == "hair":
+        # pbrt-v3 src/materials/hair.cpp CreateHairMaterial pigment priority:
+        # sigma_a > color > eumelanin/pheomelanin > default brown (ce=1.3)
+        from pbrt_tpu.materials.hair import sigma_a_from_concentration
+
+        e = MaterialEntry(
+            B.HAIR,
+            {
+                "beta_m": float_tex("beta_m", 0.3),
+                "beta_n": float_tex("beta_n", 0.3),
+            },
+        )
+        e.eta_const = tp.find_float("eta", 1.55)
+        e.hair_alpha = tp.find_float("alpha", 2.0)
+        sig = tp.get_spectrum_texture_or_none("sigma_a")
+        col = tp.get_spectrum_texture_or_none("color")
+        ce = tp.get_float_texture_or_none("eumelanin")
+        cp = tp.get_float_texture_or_none("pheomelanin")
+        if sig is not None:
+            e.hair_mode = "sigma_a"
+            e.textures["sigma_a"] = sig
+        elif col is not None:
+            e.hair_mode = "color"
+            e.textures["sigma_a"] = col  # converted at eval (needs beta_n)
+        else:
+            from pbrt_tpu.textures.constant import ConstantTexture
+
+            def const_of(t, d):
+                return float(np.asarray(t.value).reshape(-1)[0]) if isinstance(t, ConstantTexture) else d
+
+            ce_v = const_of(ce, 0.0) if ce is not None else 0.0
+            cp_v = const_of(cp, 0.0) if cp is not None else 0.0
+            if ce is None and cp is None:
+                ce_v = 1.3  # pbrt default brown
+            e.hair_mode = "melanin"
+            e.hair_sigma_a = sigma_a_from_concentration(ce_v, cp_v).astype(float_t)
+        return e
+    if name == "mix":
+        # pbrt-v3 MixMaterial: f = amount * f1 + (1 - amount) * f2; children
+        # were resolved against the named-material registry at record time
+        children = getattr(record, "mix_children", None)
+        if not children or children[0] is None or children[1] is None:
+            log.error("mix material missing children; using matte")
+            return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
+        kids = []
+        for ch in children:
+            k = build_material(ch)
+            if k.mix_children is not None:
+                log.warning("nested mix materials unsupported; using child 1")
+                k = k.mix_children[0]
+            kids.append(k)
+        e = MaterialEntry(kids[0].type_id)
+        e.mix_children = (kids[0], kids[1])
+        e.mix_amount = spec_tex("amount", 0.5)
+        return e
+    if name in ("subsurface", "kdsubsurface"):
+        # TPU-native subsurface = dielectric interface + interior medium
+        # traced volumetrically (media/scattering.py); the surface BSDF here
+        # mirrors pbrt-v3 SubsurfaceMaterial's specular/microfacet dielectric
+        # (materials/subsurface.cpp ComputeScatteringFunctions); the builder
+        # attaches the interior medium to the shape
+        e = MaterialEntry(
+            B.GLASS,
+            {
+                "kr": spec_tex("Kr", 1.0),
+                "kt": spec_tex("Kt", 1.0),
+                "roughness": float_tex("uroughness", 0.0),
+            },
+            remap_roughness=tp.find_bool("remaproughness", True),
+        )
+        e.eta_const = tp.find_float("eta", 1.33)
+        return e
+    if name == "fourier":
+        from pbrt_tpu.materials.fourier import FourierTable
+
+        fname = tp.find_filename("bsdffile", "")
+        try:
+            table = FourierTable.read(fname)
+        except (OSError, ValueError) as err:
+            log.error("fourier material: %s; using matte", err)
+            return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
+        e = MaterialEntry(B.FOURIER)
+        e.fourier_table = table
+        e.eta_const = table.eta
+        return e
     log.warning("Material '%s' unknown; using matte.", name)
     return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
 
@@ -187,6 +278,45 @@ def material_theta(entries):
 
 def eval_material_params(entries, mat_id, si, theta=None):
     """Evaluate all material entries over the wavefront -> SoA params dict.
+
+    Mix materials produce a second complete parameter set under
+    params["mix_b"] plus blend weights (see bsdf.py's mix-aware wrappers);
+    scenes without mix take the single-set path unchanged.
+    """
+    if not any(e.mix_children is not None for e in entries):
+        return _eval_material_params_single(entries, mat_id, si, theta)
+    # split each mix entry into its two children, preserving indices so
+    # mat_id keeps addressing the same rows
+    entries_a = [e.mix_children[0] if e.mix_children else e for e in entries]
+    entries_b = [e.mix_children[1] if e.mix_children else e for e in entries]
+    # theta rows were extracted from the ORIGINAL entry list; child slots
+    # would read the wrong rows, so differentiable overrides are disabled
+    # for scenes containing mix (tracked gap)
+    params = _eval_material_params_single(entries_a, mat_id, si, None)
+    params_b = _eval_material_params_single(entries_b, mat_id, si, None)
+    n = mat_id.shape[0]
+    dt = params["kd"].dtype
+    amt = jnp.ones((n, 3), dtype=dt)
+    is_mix = jnp.zeros((n,), dtype=bool)
+    for k, e in enumerate(entries):
+        if e.mix_children is None:
+            continue
+        mask = mat_id == k
+        v = e.mix_amount.eval(si)
+        if v.ndim == 1:
+            v = v[..., None] * jnp.ones((1, 3), dtype=dt)
+        amt = jnp.where(mask[..., None], jnp.clip(v, 0.0, 1.0), amt)
+        is_mix = is_mix | mask
+    y = jnp.asarray([0.212671, 0.715160, 0.072169], dtype=dt)
+    pa = jnp.sum(amt * y, axis=-1)
+    params["mix_b"] = params_b
+    params["mix_amt"] = amt
+    params["mix_pa"] = jnp.where(is_mix, jnp.clip(pa, 1e-3, 1.0 - 1e-3), 1.0)
+    return params
+
+
+def _eval_material_params_single(entries, mat_id, si, theta=None):
+    """Evaluate one entry list over the wavefront -> SoA params dict.
 
     mat_id: [N] int32 indices into ``entries`` (-1 = background/none).
     theta: optional differentiable override pytree from
@@ -269,4 +399,47 @@ def eval_material_params(entries, mat_id, si, theta=None):
         if e.metal_eta is not None:
             put3("metal_eta", mask, jnp.asarray(e.metal_eta.astype(np.float32)))
             put3("metal_k", mask, jnp.asarray(e.metal_k.astype(np.float32)))
+
+    # hair parameter block, present only when the scene has hair lanes
+    if any(e.type_id == B.HAIR for e in entries):
+        from pbrt_tpu.materials.hair import sigma_a_from_reflectance
+
+        params["sigma_a"] = zeros3
+        params["beta_m"] = zeros1 + 0.3
+        params["beta_n"] = zeros1 + 0.3
+        params["hair_alpha"] = zeros1 + 2.0
+        for k, e in enumerate(entries):
+            if e.type_id != B.HAIR:
+                continue
+            mask = mat_id == k
+
+            def fval(slot, default):
+                tex = e.textures.get(slot)
+                if tex is None:
+                    return jnp.full((n,), default, dtype=dt)
+                v = tex.eval(si)
+                return v.mean(axis=-1) if v.ndim > 1 else v
+
+            beta_m = fval("beta_m", 0.3)
+            beta_n = fval("beta_n", 0.3)
+            put1("beta_m", mask, beta_m)
+            put1("beta_n", mask, beta_n)
+            put1("hair_alpha", mask, e.hair_alpha)
+            if e.hair_mode == "melanin":
+                sig = jnp.broadcast_to(jnp.asarray(e.hair_sigma_a, dtype=dt), (n, 3))
+            else:
+                sig = e.textures["sigma_a"].eval(si)
+                if sig.ndim == 1:
+                    sig = sig[..., None] * jnp.ones((1, 3), dtype=dt)
+                if e.hair_mode == "color":
+                    sig = sigma_a_from_reflectance(sig, beta_n[..., None])
+            put3("sigma_a", mask, sig)
+
+    # fourier tables: one device bundle per fourier entry
+    if any(e.type_id == B.FOURIER for e in entries):
+        params["fourier"] = [
+            {**e.fourier_table.device_arrays(), "mask": mat_id == k}
+            for k, e in enumerate(entries)
+            if e.type_id == B.FOURIER
+        ]
     return params

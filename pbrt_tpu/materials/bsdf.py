@@ -30,6 +30,8 @@ SUBSTRATE = 5
 UBER = 6
 TRANSLUCENT = 7
 DISNEY = 8
+HAIR = 9
+FOURIER = 10
 NONE = 15  # pure emitter
 
 ONE_MINUS_EPS = 0.99999994
@@ -303,8 +305,8 @@ def _active_types(params):
     return params.get("_active")
 
 
-def bsdf_eval(params, wo, wi):
-    """f(wo, wi) [N,3] for non-specular lobes (specular contributes 0)."""
+def _bsdf_eval_one(params, wo, wi):
+    """f(wo, wi) [N,3] for one lobe set (specular contributes 0)."""
     mtype = params["type"]
     alpha = params["roughness"]
     eta = params["eta"]
@@ -359,11 +361,20 @@ def bsdf_eval(params, wo, wi):
         )
         rg_trans = _microfacet_transmission_f(params, wo, wi)
         f = jnp.where(rough_glass[..., None], rg_refl + rg_trans, f)
+    if has(HAIR) and "sigma_a" in params:
+        from pbrt_tpu.materials.hair import hair_f
+
+        f = jnp.where((mtype == HAIR)[..., None], hair_f(params, wo, wi), f)
+    if has(FOURIER) and "fourier" in params:
+        from pbrt_tpu.materials.fourier import fourier_f
+
+        for tbl in params["fourier"]:
+            f = jnp.where(tbl["mask"][..., None], fourier_f(tbl, wo, wi), f)
     return f
 
 
-def bsdf_pdf(params, wo, wi):
-    """Solid-angle pdf of sample_bsdf for non-specular lanes."""
+def _bsdf_pdf_one(params, wo, wi):
+    """Solid-angle pdf of _bsdf_sample_one for non-specular lanes."""
     mtype = params["type"]
     alpha = params["roughness"]
     active = _active_types(params)
@@ -408,11 +419,19 @@ def bsdf_pdf(params, wo, wi):
         )
         rough_glass = (mtype == GLASS) & (alpha > ROUGH_GLASS_MIN_ALPHA)
         pdf = jnp.where(rough_glass, 0.5 * (mf_pdf + trans_pdf), pdf)
+    if has(HAIR) and "sigma_a" in params:
+        from pbrt_tpu.materials.hair import hair_pdf
+
+        pdf = jnp.where(mtype == HAIR, hair_pdf(params, wo, wi), pdf)
+    if has(FOURIER) and "fourier" in params:
+        from pbrt_tpu.materials.fourier import fourier_pdf
+
+        pdf = jnp.where(mtype == FOURIER, fourier_pdf(wo, wi), pdf)
     return pdf
 
 
-def bsdf_sample(params, wo, u_lobe, u2):
-    """Sample an outgoing direction.
+def _bsdf_sample_one(params, wo, u_lobe, u2):
+    """Sample an outgoing direction from one lobe set.
 
     Returns (wi [N,3], f [N,3], pdf [N], specular [N] bool).
     For specular lanes f includes 1/|cos| and pdf = 1.
@@ -493,11 +512,23 @@ def bsdf_sample(params, wo, u_lobe, u2):
             wi,
         )
 
+    if has(HAIR) and "sigma_a" in params:
+        from pbrt_tpu.materials.hair import hair_sample_wi
+
+        wi_hair = hair_sample_wi(params, wo, u_lobe, u2)
+        wi = jnp.where((mtype == HAIR)[..., None], wi_hair, wi)
+
+    if has(FOURIER) and "fourier" in params:
+        from pbrt_tpu.materials.fourier import fourier_sample_wi
+
+        wi_fr = fourier_sample_wi(wo, u_lobe, u2)
+        wi = jnp.where((mtype == FOURIER)[..., None], wi_fr, wi)
+
     specular = (mtype == MIRROR) | ((mtype == GLASS) & ~rough_glass)
 
     # non-specular f/pdf by evaluation
-    f_ns = bsdf_eval(params, wo, wi)
-    pdf_ns = bsdf_pdf(params, wo, wi)
+    f_ns = _bsdf_eval_one(params, wo, wi)
+    pdf_ns = _bsdf_pdf_one(params, wo, wi)
 
     f = f_ns
     pdf = pdf_ns
@@ -521,3 +552,77 @@ def bsdf_sample(params, wo, u_lobe, u2):
         f = jnp.where(specular[..., None], f_spec, f)
         pdf = jnp.where(specular, 1.0, pdf)
     return wi, f, pdf, specular
+
+
+# ---------------------------------------------------------------------------
+# Mix-aware public interface (pbrt-v3 MixMaterial semantics)
+# ---------------------------------------------------------------------------
+#
+# When the scene contains ``Material "mix"`` entries, eval_material_params
+# produces TWO complete lobe-parameter sets: the outer dict (child 1, and
+# every non-mix material) plus params["mix_b"] (child 2), with
+# params["mix_amt"] [N,3] = per-channel blend (1.0 on non-mix lanes) and
+# params["mix_pa"] [N] = luminance selection probability.  f and pdf blend
+# linearly (f = amt f1 + (1-amt) f2); sampling picks a child by mix_pa with
+# the lobe sample rescaled.  Scenes without mix compile to the _one path
+# untouched.
+
+
+def _mix_b(params):
+    pb = params.get("mix_b")
+    if pb is not None and "outside" in params:
+        pb = {**pb, "outside": params["outside"]}
+    return pb
+
+
+def bsdf_eval(params, wo, wi):
+    """f(wo, wi) [N,3] for non-specular lobes (specular contributes 0)."""
+    f = _bsdf_eval_one(params, wo, wi)
+    pb = _mix_b(params)
+    if pb is not None:
+        amt = params["mix_amt"]
+        f = amt * f + (1.0 - amt) * _bsdf_eval_one(pb, wo, wi)
+    return f
+
+
+def bsdf_pdf(params, wo, wi):
+    """Solid-angle pdf of bsdf_sample for non-specular lanes."""
+    pdf = _bsdf_pdf_one(params, wo, wi)
+    pb = _mix_b(params)
+    if pb is not None:
+        pa = params["mix_pa"]
+        pdf = pa * pdf + (1.0 - pa) * _bsdf_pdf_one(pb, wo, wi)
+    return pdf
+
+
+def bsdf_sample(params, wo, u_lobe, u2):
+    """Sample an outgoing direction.
+
+    Returns (wi [N,3], f [N,3], pdf [N], specular [N] bool).
+    For specular lanes f includes 1/|cos| and the child-selection weight;
+    pdf = 1.
+    """
+    pb = _mix_b(params)
+    if pb is None:
+        return _bsdf_sample_one(params, wo, u_lobe, u2)
+    pa = params["mix_pa"]
+    choose_a = u_lobe < pa
+    u_a = jnp.clip(u_lobe / jnp.maximum(pa, 1e-6), 0.0, ONE_MINUS_EPS)
+    u_b = jnp.clip((u_lobe - pa) / jnp.maximum(1.0 - pa, 1e-6), 0.0, ONE_MINUS_EPS)
+    wi_a, f_a, _pdf_a, spec_a = _bsdf_sample_one(params, wo, u_a, u2)
+    wi_b, f_b, _pdf_b, spec_b = _bsdf_sample_one(pb, wo, u_b, u2)
+    wi = jnp.where(choose_a[..., None], wi_a, wi_b)
+    spec = jnp.where(choose_a, spec_a, spec_b)
+    f = bsdf_eval(params, wo, wi)
+    pdf = bsdf_pdf(params, wo, wi)
+    # a sampled specular child lobe keeps its own delta f, scaled by the
+    # blend amount over the selection probability (unbiased estimator)
+    amt = params["mix_amt"]
+    f_spec = jnp.where(
+        choose_a[..., None],
+        amt * f_a / jnp.maximum(pa, 1e-6)[..., None],
+        (1.0 - amt) * f_b / jnp.maximum(1.0 - pa, 1e-6)[..., None],
+    )
+    f = jnp.where(spec[..., None], f_spec, f)
+    pdf = jnp.where(spec, 1.0, pdf)
+    return wi, f, pdf, spec

@@ -221,6 +221,19 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     # group shapes by their area-light record instance
     pending_area: Dict[int, dict] = {}
 
+    # subsurface materials synthesize their interior medium (one per
+    # material record); the shape's inside-medium pointer is rewired to it
+    sss_med_cache: Dict[int, int] = {}
+
+    def sss_medium_index(record) -> int:
+        key = id(record)
+        if key not in sss_med_cache:
+            from pbrt_tpu.media.scattering import make_subsurface_medium
+
+            media.append(make_subsurface_medium(record))
+            sss_med_cache[key] = len(media) - 1
+        return sss_med_cache[key]
+
     for rec in shape_records:
         shape = make_shape(rec.name, rec.params, rec.object_to_world, rec.reverse_orientation)
         if shape is None:
@@ -228,7 +241,9 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         rec.params.mark_all_used()
         m_idx = mat_index(rec.material)
         has_area = bool(rec.area_light_name)
-        if isinstance(shape, SphereData) and has_area:
+        is_sss = rec.material.name in ("subsurface", "kdsubsurface")
+        if isinstance(shape, SphereData) and (has_area or is_sss):
+            # medium interfaces live on the triangle tables
             shape = _tessellate_emitting_sphere(shape)
         if isinstance(shape, TriangleData):
             light_idx = -1
@@ -246,7 +261,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             tri_parts.append(shape)
             tri_mat.append(np.full(shape.count, m_idx, dtype=np.int32))
             tri_light.append(np.full(shape.count, light_idx, dtype=np.int32))
-            tri_med_in.append(np.full(shape.count, med_id(rec.inside_medium), dtype=np.int32))
+            m_in = sss_medium_index(rec.material) if is_sss else med_id(rec.inside_medium)
+            tri_med_in.append(np.full(shape.count, m_in, dtype=np.int32))
             tri_med_out.append(np.full(shape.count, med_id(rec.outside_medium), dtype=np.int32))
         elif isinstance(shape, SphereData):
             sph_parts.append(shape)

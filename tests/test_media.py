@@ -89,3 +89,76 @@ def test_fog_absorption_attenuates_exponentially():
     np.testing.assert_allclose(ratio, expected_ratio, rtol=0.1)
     # clear render matches the analytic direct value
     np.testing.assert_allclose(clear[4, 4], [0.6 / np.pi * 10 / 4] * 3, rtol=0.02)
+
+
+# -- subsurface scattering (TPU-native: interface + interior medium) ---------
+
+
+def test_dipole_inversion_round_trip():
+    """subsurface_from_diffuse must invert the dipole Rd: plugging the
+    recovered reduced albedo back into Rd reproduces the requested color."""
+    from pbrt_tpu.media.scattering import (
+        _dipole_rd,
+        _fresnel_moment_a,
+        subsurface_from_diffuse,
+    )
+
+    kd = np.array([0.1, 0.35, 0.8])
+    sigma_a, sigma_s = subsurface_from_diffuse(kd, mfp=0.5, eta=1.33, g=0.0)
+    assert (sigma_a >= 0).all() and (sigma_s > 0).all()
+    # reconstruct alpha' and check Rd
+    alpha = sigma_s / (sigma_a + sigma_s)
+    rd = _dipole_rd(alpha, _fresnel_moment_a(1.33))
+    assert np.allclose(rd, kd, atol=1e-5)
+    # sigma_t' = 1/mfp
+    assert np.allclose(sigma_a + sigma_s, 1.0 / 0.5, rtol=1e-6)
+    # darker color -> more absorption
+    assert sigma_a[0] > sigma_a[2]
+
+
+def test_scattering_presets():
+    from pbrt_tpu.media.scattering import get_medium_scattering_properties
+
+    got = get_medium_scattering_properties("marble")
+    assert got is not None
+    sa, ss = got
+    assert sa.shape == (3,) and ss.shape == (3,)
+    assert (ss > 1.0).all()  # marble is strongly scattering
+    assert get_medium_scattering_properties("Skin1") is not None  # case-insensitive
+    assert get_medium_scattering_properties("unobtanium") is None
+
+
+def test_subsurface_material_builds_interior_medium():
+    """A kdsubsurface sphere compiles to a dielectric surface + an interior
+    medium on the (tessellated) triangle tables, and `path` auto-routes
+    through volpath."""
+    from pbrt_tpu import Options
+    from pbrt_tpu.core.api import PbrtAPI
+    from pbrt_tpu.scene.builder import build_scene
+    from pbrt_tpu.integrators import make_integrator
+    from pbrt_tpu.integrators.volpath import VolPathIntegrator
+    from pbrt_tpu.materials import bsdf as B
+
+    scene = """
+LookAt 0 0 -4  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 4
+Integrator "path" "integer maxdepth" 6
+Film "image" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Material "kdsubsurface" "rgb Kd" [0.7 0.4 0.2] "float mfp" 0.2
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+    api = PbrtAPI(Options(ray_batch=1024), render_on_world_end=False)
+    api.init()
+    api.parse_string(scene)
+    c = build_scene(api.scene, api.opt)
+    assert len(c.media) == 1  # synthesized interior
+    assert c.materials[0].type_id == B.GLASS  # dielectric interface
+    med_in = np.asarray(c.tables["tri"]["med_in"])
+    assert (med_in == 0).all()
+    med_out = np.asarray(c.tables["tri"]["med_out"])
+    assert (med_out == -1).all()
+    assert isinstance(make_integrator(c), VolPathIntegrator)

@@ -177,3 +177,63 @@ def test_rough_glass_sphere_renders():
     img = res["image"]
     assert np.isfinite(img).all()
     assert img[7:9, 7:9].mean() > 0.15
+
+
+def test_mix_material_blends_children():
+    """pbrt-v3 MixMaterial: f = amt f1 + (1-amt) f2.  A 50/50 mix of red and
+    blue matte under a white furnace must render the channel-average of the
+    two pure renders."""
+    tmpl = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 32
+Integrator "path" "integer maxdepth" 3
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+MakeNamedMaterial "red" "string type" "matte" "rgb Kd" [0.8 0 0]
+MakeNamedMaterial "blue" "string type" "matte" "rgb Kd" [0 0 0.6]
+%s
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+    img_mix = render_string(
+        tmpl
+        % (
+            'Material "mix" "string namedmaterial1" "red" '
+            '"string namedmaterial2" "blue" "rgb amount" [0.5 0.5 0.5]'
+        )
+    )["image"]
+    img_red = render_string(tmpl % 'NamedMaterial "red"')["image"]
+    img_blue = render_string(tmpl % 'NamedMaterial "blue"')["image"]
+    center = (slice(6, 10), slice(6, 10))
+    want = 0.5 * img_red[center] + 0.5 * img_blue[center]
+    got = img_mix[center]
+    assert np.allclose(got.mean(axis=(0, 1)), want.mean(axis=(0, 1)), atol=0.02)
+
+
+def test_mix_amount_one_is_child_one():
+    tmpl = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 8
+Integrator "path" "integer maxdepth" 2
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+MakeNamedMaterial "red" "string type" "matte" "rgb Kd" [0.8 0 0]
+MakeNamedMaterial "blue" "string type" "matte" "rgb Kd" [0 0 0.6]
+%s
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+    img_mix = render_string(
+        tmpl
+        % (
+            'Material "mix" "string namedmaterial1" "red" '
+            '"string namedmaterial2" "blue" "rgb amount" [1 1 1]'
+        )
+    )["image"]
+    img_red = render_string(tmpl % 'NamedMaterial "red"')["image"]
+    center = (slice(4, 8), slice(4, 8))
+    assert np.allclose(img_mix[center], img_red[center], atol=0.02)

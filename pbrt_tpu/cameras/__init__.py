@@ -173,9 +173,32 @@ def make_camera(name: str, params, camera_to_world: Transform, film) -> object:
     if name == "environment":
         return EnvironmentCamera(camera_to_world, res, **common)
     if name == "realistic":
-        log.warning(
-            "Realistic camera approximated by perspective + thin lens on TPU"
+        from pbrt_tpu.cameras.realistic import (
+            BUILTIN_LENSES,
+            RealisticCamera,
+            load_lens_file,
         )
-        return PerspectiveCamera(camera_to_world, 45.0, res, sw, lens_radius, focal, **common)
+
+        raw = params.find_one_string("lensfile", "")
+        lensfile = raw if raw in BUILTIN_LENSES else params.find_one_filename("lensfile", "")
+        ap_mm = params.find_one_float("aperturediameter", 1.0)
+        focusd = params.find_one_float("focusdistance", 10.0)
+        simple = params.find_one_bool("simpleweighting", True)
+        try:
+            elements = load_lens_file(lensfile)
+            return RealisticCamera(
+                camera_to_world,
+                elements,
+                film,
+                focus_distance=focusd,
+                aperture_diameter_m=ap_mm * 1e-3,
+                simple_weighting=simple,
+                **common,
+            )
+        except (OSError, ValueError) as err:
+            log.error("realistic camera: %s; falling back to perspective", err)
+            return PerspectiveCamera(
+                camera_to_world, 45.0, res, sw, lens_radius, focal, **common
+            )
     log.warning("Camera '%s' unknown; using perspective.", name)
     return PerspectiveCamera(camera_to_world, 90.0, res, sw, lens_radius, focal, **common)

@@ -10,9 +10,12 @@ surface whose shape declared a MediumInterface switches the lane's medium
 
 Round-1 approximations (documented):
   * shadow-ray transmittance uses the lane's current medium over the full
-    unoccluded segment (no per-boundary segmentation);
-  * grid media sample distances using their channel-averaged sigma_t at
-    the ray origin (delta tracking lands with the Pallas kernels).
+    unoccluded segment (no per-boundary segmentation).
+
+Grid media use real delta tracking (distance sampling) and ratio tracking
+(shadow transmittance) — see pbrt_tpu/media/__init__.py; the tracking
+uniforms come from a stateless (pixel, sample, slot) stream so renders stay
+deterministic across shardings.
 
 Dimension layout adds 2 dims per bounce after the surface dims:
   base+7: medium distance u     base+8,9(next-bounce lobe slot reuse): phase u2
@@ -28,7 +31,7 @@ from pbrt_tpu.core.sampling import power_heuristic
 from pbrt_tpu.integrators.path import INF_T, SHADOW_EPS, PathIntegrator, _to_local, _to_world
 from pbrt_tpu.materials import eval_material_params
 from pbrt_tpu.materials import bsdf as B
-from pbrt_tpu.media import hg_phase, hg_sample
+from pbrt_tpu.media import hg_phase, hg_sample, make_track_rng
 from pbrt_tpu.scene.builder import compute_interaction
 from pbrt_tpu.core.geometry import shading_frame, coordinate_system, vface_forward
 
@@ -42,20 +45,20 @@ class VolPathIntegrator(PathIntegrator):
 
     # medium helpers: static unrolled select over media list ---------------
 
-    def _medium_transmittance(self, med_id, dist):
+    def _medium_transmittance(self, med_id, o, d, dist, rng):
         tr = jnp.ones(dist.shape + (3,), dtype=dist.dtype)
         for i, m in enumerate(self.media):
-            tri = m.transmittance(dist)
+            tri = m.tr(o, d, dist, rng)
             tr = jnp.where((med_id == i)[..., None], tri, tr)
         return tr
 
-    def _medium_sample(self, med_id, u, t_hit):
+    def _medium_sample(self, med_id, o, d, u, t_hit, rng):
         t = t_hit
         scattered = jnp.zeros(t_hit.shape, dtype=bool)
         beta = jnp.ones(t_hit.shape + (3,), dtype=t_hit.dtype)
         g = jnp.zeros(t_hit.shape, dtype=t_hit.dtype)
         for i, m in enumerate(self.media):
-            ti, si, bi = m.sample_distance(u, t_hit)
+            ti, si, bi = m.sample(o, d, u, t_hit, rng)
             mask = med_id == i
             t = jnp.where(mask, ti, t)
             scattered = jnp.where(mask, si, scattered)
@@ -83,8 +86,9 @@ class VolPathIntegrator(PathIntegrator):
             # ---- medium interaction sampling ---------------------------
             if self.media:
                 u_med = sampler.get(pixel_xy, sample_index, base + 7)
+                rng_track = make_track_rng(pixel_xy, sample_index, 2 * bounce)
                 t_med, scattered, med_beta, g_lane = self._medium_sample(
-                    med, u_med, t_hit
+                    med, o, d, u_med, t_hit, rng_track
                 )
                 in_medium = med >= 0
                 scattered = scattered & in_medium & alive
@@ -159,7 +163,10 @@ class VolPathIntegrator(PathIntegrator):
                     * jnp.sign(jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)),
                 )
                 occ = c.intersector.occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS)
-                tr = self._medium_transmittance(med, jnp.minimum(l_dist, 1e6))
+                rng_shadow = make_track_rng(pixel_xy, sample_index, 2 * bounce + 1)
+                tr = self._medium_transmittance(
+                    med, shadow_o, wi_w, jnp.minimum(l_dist, 1e6), rng_shadow
+                )
                 vis = can & ~occ
                 w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))
                 contrib = beta * f * li * tr * (w_l / jnp.maximum(l_pdf, 1e-12))[..., None]

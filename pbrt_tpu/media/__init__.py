@@ -5,10 +5,16 @@ make_medium api.rs:945-947 ``unimplemented!``).  Round-1 scope:
 
 * :class:`HomogeneousMedium` — sigma_a/sigma_s/g, closed-form
   transmittance, distance sampling by channel-averaged sigma_t;
-* :class:`GridDensityMedium` — trilinear density grid scaling a base
-  medium; transmittance by ratio-tracking-free fixed-step quadrature
-  (documented approximation, exact in the homogeneous limit);
+* :class:`GridDensityMedium` — trilinear density grid; distance sampling
+  by **delta tracking** and transmittance by **ratio tracking** (the
+  pbrt-v3 GridDensityMedium::Sample/Tr algorithms, src/media/grid.cpp),
+  expressed as fixed-trip-count ``lax.scan`` loops with alive masks so the
+  whole wavefront tracks in lockstep on the VPU;
 * Henyey-Greenstein phase function sampling/eval, batched.
+
+Null-collision loops need an unbounded uniform stream; :func:`make_track_rng`
+provides one as a pure function of (pixel, sample index, slot) — the repo's
+determinism convention with the tracking step as an extra dimension.
 
 Per-lane medium tracking: each wavefront lane carries a medium id (-1 =
 vacuum); surface crossings with a MediumInterface switch it
@@ -21,11 +27,35 @@ import logging
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu import INV_4PI, PI, float_t
 
 log = logging.getLogger("pbrt_tpu")
+
+
+def make_track_rng(pixel_xy, sample_index, salt: int):
+    """Stateless uniform stream ``rng(slot) -> [N] floats`` for tracking loops.
+
+    pbrt-v3's grid medium draws ``sampler.Get1D()`` once per tentative
+    collision (src/media/grid.cpp Sample/Tr); a wavefront needs the same
+    stream as a pure function of (pixel, sample index, slot) so renders stay
+    bit-stable across batch sizes and shardings.  ``salt`` separates the
+    per-bounce distance-sampling and shadow-transmittance streams.
+    """
+    from pbrt_tpu.core.rng import hash_u32, pcg3d, u32_to_float
+
+    x = pixel_xy[..., 0].astype(jnp.uint32)
+    y = pixel_xy[..., 1].astype(jnp.uint32)
+    pc = hash_u32(x * jnp.uint32(0x9E3779B1) ^ (y + jnp.uint32(0x85EBCA77)))
+    si = jnp.asarray(sample_index, jnp.uint32) ^ (jnp.uint32(salt) << 20)
+
+    def rng(slot):
+        a, _b, _c = pcg3d(pc, si, jnp.broadcast_to(jnp.asarray(slot, jnp.uint32), pc.shape))
+        return u32_to_float(a)
+
+    return rng
 
 
 class HomogeneousMedium:
@@ -64,18 +94,44 @@ class HomogeneousMedium:
         beta = jnp.where(scattered[..., None], beta_scatter, beta_pass)
         return t_eff, scattered, beta
 
+    # unified position-aware interface (grid media override these) --------
+
+    def sample(self, o, d, u, t_hit, rng):
+        """Sample a medium interaction along o + t*d, t in [0, t_hit).
+
+        ``u`` is the integrator's stratified dimension for the first flight
+        distance; ``rng`` supplies any further tracking uniforms (unused for
+        homogeneous media).  Returns (t, scattered, beta_scale).
+        """
+        del o, d, rng
+        return self.sample_distance(u, t_hit)
+
+    def tr(self, o, d, t_max, rng):
+        """Transmittance over the segment [0, t_max) of o + t*d."""
+        del o, d, rng
+        return self.transmittance(t_max)
+
 
 class GridDensityMedium(HomogeneousMedium):
     """Density-modulated medium; density grid [nz, ny, nx] in [0,1] space
     of the medium-to-world transform."""
 
     def __init__(self, sigma_a, sigma_s, g, density, world_to_medium, scale=1.0,
-                 n_steps=32):
+                 max_steps=64):
         super().__init__(sigma_a, sigma_s, g, scale)
         self.density = jnp.asarray(np.asarray(density, dtype=float_t))
         self.w2m = jnp.asarray(world_to_medium.astype(float_t))
-        self.n_steps = int(n_steps)
-        self.max_density = float(np.max(np.asarray(density)))
+        self.max_steps = int(max_steps)
+        self.max_density = max(float(np.max(np.asarray(density))), 1e-9)
+        # delta tracking needs a scalar (gray) sigma_t majorant; pbrt-v3
+        # likewise builds GridDensityMedium with Float sigma_t and CHECKs the
+        # spectrum is uniform (src/media/grid.h) — warn, don't crash.
+        self.sigma_t_gray = float(np.mean(self.sigma_t))
+        if not np.allclose(self.sigma_t, self.sigma_t[0], rtol=1e-4):
+            log.warning(
+                "GridDensityMedium requires gray sigma_t for delta tracking; "
+                "using channel mean %g", self.sigma_t_gray,
+            )
 
     def density_at(self, p_world):
         from pbrt_tpu.core.transform import apply_point
@@ -111,6 +167,85 @@ class GridDensityMedium(HomogeneousMedium):
         c0 = c00 * (1 - fy) + c01 * fy
         c1 = c10 * (1 - fy) + c11 * fy
         return jnp.where(inside, c0 * (1 - fz) + c1 * fz, 0.0)
+
+    def _flight(self, u, t, sig_bar):
+        return t - jnp.log(jnp.maximum(1.0 - u, 1e-10)) / sig_bar
+
+    def sample(self, o, d, u, t_hit, rng):
+        """Delta tracking (pbrt-v3 GridDensityMedium::Sample, src/media/grid.cpp).
+
+        Exponential tentative-collision flights under the gray majorant
+        ``sigma_t * max_density``; a tentative collision is real with
+        probability density/max_density.  Fixed trip count ``max_steps`` with
+        alive masks keeps the whole wavefront in lockstep (expected trips =
+        majorant x segment length; lanes still tracking at the cap count as
+        passed through — negligible for max_steps=64).  ``u`` (the stratified
+        integrator dimension) drives the first flight; ``rng`` the rest.
+        Directions are assumed unit length (t is Euclidean distance).
+        """
+        sig_bar = self.sigma_t_gray * self.max_density
+        inv_max_d = 1.0 / self.max_density
+
+        t0 = self._flight(u, jnp.zeros_like(t_hit), sig_bar)
+        esc0 = t0 >= t_hit
+        real0 = self.density_at(o + d * t0[..., None]) * inv_max_d > rng(0)
+        scattered = ~esc0 & real0
+        active = ~esc0 & ~real0
+        t_scat = jnp.where(scattered, t0, t_hit)
+
+        def body(carry, step):
+            t, active, scattered, t_scat = carry
+            t_new = self._flight(rng(2 * step + 1), t, sig_bar)
+            esc = t_new >= t_hit
+            dens = self.density_at(o + d * t_new[..., None])
+            real = dens * inv_max_d > rng(2 * step + 2)
+            hit_real = active & ~esc & real
+            scattered = scattered | hit_real
+            t_scat = jnp.where(hit_real, t_new, t_scat)
+            active = active & ~esc & ~real
+            return (jnp.where(active, t_new, t), active, scattered, t_scat), None
+
+        (t0, active, scattered, t_scat), _ = jax.lax.scan(
+            body,
+            (t0, active, scattered, t_scat),
+            jnp.arange(self.max_steps - 1),
+        )
+        # scatter: beta = sigma_s / (sigma_t * pdf) collapses to sigma_s /
+        # sigma_t_gray under delta tracking; pass-through: Tr/pdf == 1.
+        beta = jnp.where(
+            scattered[..., None],
+            self._ss / self.sigma_t_gray,
+            jnp.ones((3,), dtype=t_hit.dtype),
+        )
+        return jnp.minimum(t_scat, t_hit), scattered, beta
+
+    def tr(self, o, d, t_max, rng):
+        """Ratio tracking (pbrt-v3 GridDensityMedium::Tr, src/media/grid.cpp):
+        at each tentative collision multiply by the null-collision fraction
+        1 - density/max_density.  Gray by construction (gray sigma_t)."""
+        sig_bar = self.sigma_t_gray * self.max_density
+        inv_max_d = 1.0 / self.max_density
+
+        def body(carry, step):
+            t, tr, active = carry
+            t_new = self._flight(rng(step), t, sig_bar)
+            esc = t_new >= t_max
+            dens = self.density_at(o + d * t_new[..., None])
+            tr = jnp.where(
+                active & ~esc,
+                tr * (1.0 - jnp.maximum(0.0, dens * inv_max_d)),
+                tr,
+            )
+            active = active & ~esc
+            return (jnp.where(active, t_new, t), tr, active), None
+
+        init = (
+            jnp.zeros_like(t_max),
+            jnp.ones_like(t_max),
+            jnp.ones(t_max.shape, dtype=bool),
+        )
+        (_, tr, _), _ = jax.lax.scan(body, init, jnp.arange(self.max_steps))
+        return jnp.clip(tr, 0.0, 1.0)[..., None] * jnp.ones((3,), dtype=t_max.dtype)
 
 
 def hg_phase(cos_theta, g):

@@ -13,8 +13,16 @@ the triangle tables.  A 2D (dp, tp) mesh then gives:
 This is the all-reduce formulation of "ray re-routing": every collective
 is a dense XLA reduction over ICI (no per-ray routing tables), which
 scales compute perfectly at the cost of O(rays) reduction bandwidth per
-bounce.  The all_to_all ray-queue formulation (lower bandwidth for deep
-trees) is the planned upgrade (SURVEY.md §2.2 ring analogue).
+bounce — but rays stay replicated over tp.
+
+The **ring formulation** (:func:`ring_closest_hit`,
+:func:`make_ring_path_fn`) shards the rays over tp as well: each device
+owns rays/tp lanes, and the ray packet (origins, directions, running
+best-hit record) rotates around the ICI ring via ``ppermute``, visiting
+every geometry slice exactly once.  Same images (identical lexicographic
+(t, gid) tie-breaks), tp x fewer lanes per device, and neighbor-only
+point-to-point traffic instead of all-reduces — the SURVEY §2.2 "ring
+collective" pattern (the ray-tracing analogue of ring attention).
 
 Determinism: ties in the pmin are broken toward the lowest primitive id,
 so results are invariant to the shard count.
@@ -215,20 +223,96 @@ def interaction_from_reduced(hit, o, d):
 
 
 # ---------------------------------------------------------------------------
+# Ring (all_to_all) formulation: rays sharded over tp as well
+# ---------------------------------------------------------------------------
+
+_REC_VEC = ("p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2")
+
+
+def ring_closest_hit(shard, o, d, t_max, tp_size: int, axis="tp"):
+    """Closest hit with rays AND triangles both sharded over ``axis``.
+
+    Each of ``tp_size`` steps intersects the packet currently resident on
+    this device against the local triangle slice, folds the result into the
+    packet's best-hit record (lexicographic (t, gid) — identical tie-break
+    to :func:`allreduce_closest`, so images match bit for bit), then
+    rotates the packet one hop around the ring.  After tp steps every
+    packet is back home having visited all geometry.
+
+    Returns the same hit-record dict as :func:`allreduce_closest`.
+    """
+    n = o.shape[0]
+    dt = o.dtype
+    tmax = jnp.broadcast_to(t_max, (n,)).astype(dt)
+    packet = {
+        "o": o,
+        "d": d,
+        "tmax": tmax,
+        "t": tmax,
+        "gid": jnp.full((n,), 2**30, jnp.int32),
+        "b0": jnp.zeros((n,), dt),
+        "b1": jnp.zeros((n,), dt),
+        "mat": jnp.full((n,), -1, jnp.int32),
+        "light": jnp.full((n,), -1, jnp.int32),
+    }
+    for k in _REC_VEC:
+        packet[k] = jnp.zeros((n,) + shard[k].shape[1:], dt)
+
+    perm = [(i, (i + 1) % tp_size) for i in range(tp_size)]
+
+    for _ in range(tp_size):
+        t_l, idx_l, b0, b1 = local_closest_hit(
+            shard, packet["o"], packet["d"], packet["tmax"]
+        )
+        safe = jnp.maximum(idx_l, 0)
+        gid_l = jnp.where(idx_l >= 0, shard["gid"][safe], jnp.int32(2**30))
+        better = (idx_l >= 0) & (
+            (t_l < packet["t"]) | ((t_l == packet["t"]) & (gid_l < packet["gid"]))
+        )
+        packet["t"] = jnp.where(better, t_l, packet["t"])
+        packet["gid"] = jnp.where(better, gid_l, packet["gid"])
+        packet["b0"] = jnp.where(better, b0, packet["b0"])
+        packet["b1"] = jnp.where(better, b1, packet["b1"])
+        for k in _REC_VEC:
+            packet[k] = jnp.where(better[..., None], shard[k][safe], packet[k])
+        for k in ("mat", "light"):
+            packet[k] = jnp.where(better, shard[k][safe], packet[k])
+        packet = {k: jax.lax.ppermute(v, axis, perm) for k, v in packet.items()}
+
+    found = packet["gid"] < 2**30
+    return {
+        "t": packet["t"],
+        "hit": found,
+        "prim": jnp.where(found, packet["gid"], 0),
+        "b0": packet["b0"],
+        "b1": packet["b1"],
+        **{k: packet[k] for k in _REC_VEC},
+        "mat": packet["mat"],
+        "light": packet["light"],
+    }
+
+
+# ---------------------------------------------------------------------------
 # Geometry-sharded wavefront path tracing (demonstrator + scaling harness)
 # ---------------------------------------------------------------------------
 
 
 def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
-                         max_depth=3, dp_axis="dp", tp_axis="tp"):
+                         max_depth=3, dp_axis="dp", tp_axis="tp",
+                         formulation="allreduce"):
     """Builds a jitted SPMD render step over a (dp, tp) mesh.
 
     Inputs at call time: (state, shard_tables_local?, pixels, sidx) — the
     triangle shard arrives via shard_map in_specs P('tp', ...), pixels via
-    P('dp', ...).  Matte shading with a per-material kd table and a
-    constant environment light; NEE omitted (env provides direct light) —
-    this is the scaling harness for BASELINE config 5, not the full
-    feature integrator.
+    P('dp', ...) (allreduce) or P(('dp','tp'), ...) (ring).  Matte shading
+    with a per-material kd table and a constant environment light; NEE
+    omitted (env provides direct light) — this is the scaling harness for
+    BASELINE config 5, not the full feature integrator.
+
+    formulation:
+      * "allreduce" — rays replicated over tp; winner reduced by pmin/psum;
+      * "ring"      — rays sharded over tp too; packets rotate the ring
+        (see :func:`ring_closest_hit`).  Same images, tp x more lanes.
     """
     import warnings
 
@@ -252,10 +336,16 @@ def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
         beta = jnp.ones((n, 3), dtype=float_t)
         alive = jnp.ones((n,), dtype=bool)
         for bounce in range(max_depth):
-            t_l, idx_l, b0, b1 = local_closest_hit(
-                shard, o, d, jnp.full((n,), INF_T, dtype=float_t)
-            )
-            hit = allreduce_closest(shard, t_l, idx_l, b0, b1, tp_axis)
+            if formulation == "ring":
+                hit = ring_closest_hit(
+                    shard, o, d, jnp.full((n,), INF_T, dtype=float_t),
+                    mesh.shape[tp_axis], tp_axis,
+                )
+            else:
+                t_l, idx_l, b0, b1 = local_closest_hit(
+                    shard, o, d, jnp.full((n,), INF_T, dtype=float_t)
+                )
+                hit = allreduce_closest(shard, t_l, idx_l, b0, b1, tp_axis)
             esc = alive & ~hit["hit"]
             L = L + jnp.where(esc[..., None], beta * env_l, 0.0)
             alive = alive & hit["hit"]
@@ -281,19 +371,21 @@ def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
         partial = jax.tree_util.tree_map(
             lambda x: jax.lax.psum(x, (dp_axis, tp_axis)), partial
         )
-        # tp replicas each traced the same rays: avoid double counting
-        tp_size = mesh.shape[tp_axis]
-        partial = jax.tree_util.tree_map(lambda x: x / tp_size, partial)
+        if formulation != "ring":
+            # tp replicas each traced the same rays: avoid double counting
+            tp_size = mesh.shape[tp_axis]
+            partial = jax.tree_util.tree_map(lambda x: x / tp_size, partial)
         return jax.tree_util.tree_map(jnp.add, state, partial)
 
     shard_spec = {k: P(tp_axis, None) for k in (
         "p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2"
     )}
     shard_spec.update({k: P(tp_axis) for k in ("mat", "light", "valid", "gid")})
+    ray_axes = (dp_axis, tp_axis) if formulation == "ring" else dp_axis
     fn = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), shard_spec, P(dp_axis, None), P(dp_axis)),
+        in_specs=(P(), shard_spec, P(ray_axes, None), P(ray_axes)),
         out_specs=P(),
         check_rep=False,
     )

@@ -53,7 +53,7 @@ def build_mesh(dp, tp):
     return Mesh(devs, ("dp", "tp"))
 
 
-def render_with(dp, tp, spp=2):
+def render_with(dp, tp, spp=2, formulation="allreduce"):
     td = make_scene_mesh()
     t = td.count
     mats = np.zeros(t, dtype=np.int32)
@@ -67,13 +67,15 @@ def render_with(dp, tp, spp=2):
     sampler = HaltonSampler(spp)
     kd = np.array([[0.6, 0.5, 0.4]], dtype=np.float32)
     env = np.array([0.8, 0.9, 1.0], dtype=np.float32)
-    fn = make_sharded_path_fn(mesh, cam, sampler, film, kd, env, max_depth=3)
+    fn = make_sharded_path_fn(mesh, cam, sampler, film, kd, env, max_depth=3,
+                              formulation=formulation)
     state = film.initial_state()
     pixels = film.cropped_pixel_bounds.offsets().astype(np.int32)
-    # lanes = pixels x samples, divisible by dp
+    # lanes = pixels x samples, divisible by the ray-sharding factor
     lane_pix = np.repeat(pixels, spp, axis=0)
     lane_sidx = np.tile(np.arange(spp, dtype=np.uint32), len(pixels))
-    n = (len(lane_pix) // dp) * dp
+    ray_shards = dp * tp if formulation == "ring" else dp
+    n = (len(lane_pix) // ray_shards) * ray_shards
     flat = {k: np.reshape(v, (-1,) + v.shape[2:]) for k, v in shards.items()}
     state = fn(state, {k: jnp.asarray(v) for k, v in flat.items()},
                jnp.asarray(lane_pix[:n]), jnp.asarray(lane_sidx[:n]))
@@ -103,3 +105,20 @@ def test_sharded_deterministic_across_meshes():
     img_a = render_with(dp=4, tp=2)
     img_b = render_with(dp=2, tp=4)
     np.testing.assert_allclose(img_a, img_b, atol=2e-6)
+
+
+def test_ring_matches_allreduce():
+    """Ring (rays sharded over tp, ppermute packet rotation) must produce
+    the same image as the all-reduce formulation — identical tie-breaks."""
+    img_ar = render_with(dp=2, tp=4)
+    img_ring = render_with(dp=2, tp=4, formulation="ring")
+    np.testing.assert_allclose(img_ring, img_ar, atol=2e-6)
+    assert img_ring.max() > 0.05
+
+
+def test_ring_deterministic_across_meshes():
+    img_a = render_with(dp=4, tp=2, formulation="ring")
+    img_b = render_with(dp=1, tp=8, formulation="ring")
+    img_c = render_with(dp=8, tp=1, formulation="ring")
+    np.testing.assert_allclose(img_a, img_b, atol=2e-6)
+    np.testing.assert_allclose(img_a, img_c, atol=2e-6)

@@ -91,6 +91,68 @@ def test_fog_absorption_attenuates_exponentially():
     np.testing.assert_allclose(clear[4, 4], [0.6 / np.pi * 10 / 4] * 3, rtol=0.02)
 
 
+# -- grid media: delta tracking / ratio tracking -----------------------------
+
+
+def _lane_rng(n, salt=0):
+    from pbrt_tpu.media import make_track_rng
+
+    ids = np.arange(n, dtype=np.uint32)
+    pixel_xy = jnp.asarray(np.stack([ids % 4096, ids // 4096], axis=-1))
+    return make_track_rng(pixel_xy, jnp.zeros((n,), np.uint32), salt)
+
+
+def test_grid_delta_tracking_constant_density():
+    """Constant-density grid: scatter probability over a unit cube crossing
+    must equal 1 - exp(-sigma_t * rho * L)."""
+    from pbrt_tpu.media import GridDensityMedium
+
+    rho, st = 0.6, 1.2
+    grid = np.full((4, 4, 4), rho, dtype=np.float32)
+    m = GridDensityMedium([st / 3] * 3, [2 * st / 3] * 3, 0.0, grid, np.eye(4))
+    n = 200_000
+    o = jnp.broadcast_to(jnp.asarray([0.5, 0.5, -0.5]), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    u = jnp.asarray(np.random.default_rng(0).uniform(size=n).astype(np.float32))
+    t, scattered, beta = m.sample(o, d, u, jnp.full((n,), 2.0), _lane_rng(n))
+    p_scatter = np.asarray(scattered).mean()
+    np.testing.assert_allclose(p_scatter, 1.0 - np.exp(-st * rho), rtol=0.01)
+    # scattered lanes carry the single-scatter albedo sigma_s/sigma_t
+    b = np.asarray(beta)[np.asarray(scattered)]
+    np.testing.assert_allclose(b, 2.0 / 3.0, rtol=1e-4)
+    # scatter distances stay inside the cube crossing [0.5, 1.5)
+    ts = np.asarray(t)[np.asarray(scattered)]
+    assert (ts >= 0.5).all() and (ts <= 1.5).all()
+
+
+def test_grid_tracking_unbiased_vs_quadrature():
+    """Random density field: ratio-tracked Tr and delta-tracked pass-through
+    probability both match the quadrature of the medium's own density."""
+    from pbrt_tpu.media import GridDensityMedium
+
+    grid = np.random.default_rng(2).uniform(0.2, 1.0, size=(4, 4, 4)).astype(np.float32)
+    m = GridDensityMedium([0.5] * 3, [1.0] * 3, 0.0, grid, np.eye(4))
+    n = 200_000
+    o1 = np.array([0.2, 0.3, -0.2], dtype=np.float32)
+    d1 = np.array([0.0, 0.0, 1.0], dtype=np.float32)
+    t_max = 1.4
+    # ground truth: fine Riemann sum of the same trilinear density
+    ts = np.linspace(0.0, t_max, 4001, dtype=np.float32)
+    pts = jnp.asarray(o1[None, :] + ts[:, None] * d1[None, :])
+    dens = np.asarray(m.density_at(pts))
+    tau = m.sigma_t_gray * np.trapezoid(dens, ts)
+    expected = np.exp(-tau)
+
+    o = jnp.broadcast_to(jnp.asarray(o1), (n, 3))
+    d = jnp.broadcast_to(jnp.asarray(d1), (n, 3))
+    tr = np.asarray(m.tr(o, d, jnp.full((n,), t_max), _lane_rng(n, salt=1)))
+    np.testing.assert_allclose(tr.mean(axis=0), expected, rtol=0.02)
+
+    u = jnp.asarray(np.random.default_rng(1).uniform(size=n).astype(np.float32))
+    _, scattered, _ = m.sample(o, d, u, jnp.full((n,), t_max), _lane_rng(n, salt=2))
+    np.testing.assert_allclose((~np.asarray(scattered)).mean(), expected, rtol=0.02)
+
+
 # -- subsurface scattering (TPU-native: interface + interior medium) ---------
 
 

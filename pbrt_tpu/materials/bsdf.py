@@ -424,9 +424,12 @@ def _bsdf_pdf_one(params, wo, wi):
 
         pdf = jnp.where(mtype == HAIR, hair_pdf(params, wo, wi), pdf)
     if has(FOURIER) and "fourier" in params:
-        from pbrt_tpu.materials.fourier import fourier_pdf
+        from pbrt_tpu.materials.fourier import fourier_pdf_tbl
 
-        pdf = jnp.where(mtype == FOURIER, fourier_pdf(wo, wi), pdf)
+        for tbl in params["fourier"]:
+            pdf = jnp.where(
+                tbl["mask"] & (mtype == FOURIER), fourier_pdf_tbl(tbl, wo, wi), pdf
+            )
     return pdf
 
 
@@ -519,10 +522,13 @@ def _bsdf_sample_one(params, wo, u_lobe, u2):
         wi = jnp.where((mtype == HAIR)[..., None], wi_hair, wi)
 
     if has(FOURIER) and "fourier" in params:
-        from pbrt_tpu.materials.fourier import fourier_sample_wi
+        from pbrt_tpu.materials.fourier import fourier_sample_wi_tbl
 
-        wi_fr = fourier_sample_wi(wo, u_lobe, u2)
-        wi = jnp.where((mtype == FOURIER)[..., None], wi_fr, wi)
+        for tbl in params["fourier"]:
+            wi_fr = fourier_sample_wi_tbl(tbl, wo, u_lobe, u2)
+            wi = jnp.where(
+                (tbl["mask"] & (mtype == FOURIER))[..., None], wi_fr, wi
+            )
 
     specular = (mtype == MIRROR) | ((mtype == GLASS) & ~rough_glass)
 

@@ -16,8 +16,15 @@ contraction — no pointer chasing, MXU-friendly.  The order cap (default
 256) truncates only the sharpest near-specular tables; the energy dropped
 is logged at load.
 
-Sampling: pbrt importance-samples the tabulated marginal CDFs; round-1 here
-samples a two-sided cosine lobe (exactly MIS-compatible via fourier_pdf).
+Sampling mirrors pbrt's importance sampling, redesigned for lockstep
+wavefronts: the zenith marginal p(mu_i | mu_o) ~ a0_y(mu_i, mu_o) is
+tabulated at load time as a piecewise-linear density on a fine (mu_o,
+mu_i) grid whose CDF inverts in closed form (one searchsorted + a stable
+quadratic solve), with the mu_o dependence handled by a *stochastic row
+mixture* so the device pdf (an explicit two-row blend) matches the sampled
+distribution exactly; the azimuth is drawn from the Fourier series itself
+by fixed-trip-count bisection-guarded Newton (pbrt SampleFourier,
+interpolation.cpp, without data-dependent loop exits).
 
 File layout follows pbrt-v3 FourierBSDFTable::Read: 8-byte magic
 "SCATFUN\\x01", int32 fields (flags, nMu, nCoeffs, mMax, nChannels, nBases,
@@ -77,6 +84,34 @@ class FourierTable:
             )
         self.a_dense = dense  # [nMu, nMu, C, M]
         self.m_used = m_used
+        self._build_sampling_tables()
+
+    def _build_sampling_tables(self, n_o=128, n_i=512):
+        """Tabulate the zenith sampling density p(mu_i | mu_o) ~ a0_y.
+
+        a0_y (the k=0 luminance coefficient, which carries the azimuthal
+        integral: int_0^{2pi} sum_k a_k cos(k phi) dphi = 2 pi a_0) is
+        Catmull-Rom-resampled onto a fine uniform (mu_o, mu_i) grid; the
+        trapezoid CDF over mu_i makes each row an exactly invertible
+        piecewise-linear density.
+        """
+        a0 = self.a_dense[:, :, 0, 0].astype(np.float64)  # [i_knot, o_knot]
+        g_i = np.linspace(-1.0, 1.0, n_i)
+        g_o = np.linspace(-1.0, 1.0, n_o)
+        w_i = _cr_weight_matrix_np(self.mu, g_i)  # [n_i, nMu]
+        w_o = _cr_weight_matrix_np(self.mu, g_o)  # [n_o, nMu]
+        A = (w_o @ a0.T @ w_i.T)  # [n_o, n_i]
+        A = np.maximum(A, 0.0)
+        # floor so no row is identically zero (sampling stays defined; the
+        # pdf uses the same floored table, so f/pdf stays exact)
+        A = np.maximum(A, 1e-7 * max(A.max(), 1e-12))
+        dx = g_i[1] - g_i[0]
+        cdf = np.zeros_like(A)
+        cdf[:, 1:] = np.cumsum(0.5 * (A[:, :-1] + A[:, 1:]) * dx, axis=1)
+        self.i_grid = g_i.astype(np.float32)
+        self.o_grid = g_o.astype(np.float32)
+        self.pdf_mu = A.astype(np.float32)
+        self.cdf_mu = cdf.astype(np.float32)
 
     # -- I/O -----------------------------------------------------------------
 
@@ -169,6 +204,10 @@ class FourierTable:
             "mu": jnp.asarray(self.mu.astype(float_t)),
             "a": jnp.asarray(dense),  # [nMu, nMu, 3, M]
             "is_y_rb": self.n_channels == 3,
+            "i_grid": jnp.asarray(self.i_grid),
+            "o_grid": jnp.asarray(self.o_grid),
+            "pdf_mu": jnp.asarray(self.pdf_mu),  # [n_o, n_i]
+            "cdf_mu": jnp.asarray(self.cdf_mu),  # [n_o, n_i]
         }
 
 
@@ -208,6 +247,40 @@ def _cr_weights(knots, x):
     return i - 1, jnp.stack([w0, w1, w2, w3], axis=-1)
 
 
+def _cr_weight_matrix_np(knots, xs):
+    """Dense host-side Catmull-Rom weight matrix W [len(xs), len(knots)]:
+    W @ knot_values = interpolated values at xs (numpy mirror of
+    :func:`_cr_weights`, used once at table-load time)."""
+    knots = np.asarray(knots, np.float64)
+    n = len(knots)
+    xs = np.clip(np.asarray(xs, np.float64), knots[0], knots[-1])
+    i = np.clip(np.searchsorted(knots, xs, side="right") - 1, 0, n - 2)
+    x0 = knots[i]
+    x1 = knots[i + 1]
+    t = (xs - x0) / np.maximum(x1 - x0, 1e-12)
+    t2 = t * t
+    t3 = t2 * t
+    w1 = 2 * t3 - 3 * t2 + 1
+    w2 = -2 * t3 + 3 * t2
+    d0 = t3 - 2 * t2 + t
+    d1 = t3 - t2
+    has_m1 = i > 0
+    has_p2 = i + 2 < n
+    km1 = knots[np.maximum(i - 1, 0)]
+    kp2 = knots[np.minimum(i + 2, n - 1)]
+    w0a = d0 * (x1 - x0) / np.maximum(x1 - km1, 1e-12)
+    w3a = d1 * (x1 - x0) / np.maximum(kp2 - x0, 1e-12)
+    w0 = np.where(has_m1, -w0a, 0.0)
+    w3 = np.where(has_p2, w3a, 0.0)
+    w1 = w1 - np.where(has_m1, 0.0, d0) - np.where(has_p2, w3a, d1)
+    w2 = w2 + np.where(has_m1, w0a, d0) + np.where(has_p2, 0.0, d1)
+    W = np.zeros((len(xs), n))
+    rows = np.arange(len(xs))
+    for col, wv in zip((i - 1, i, i + 1, i + 2), (w0, w1, w2, w3)):
+        np.add.at(W, (rows, np.clip(col, 0, n - 1)), wv)
+    return W
+
+
 def _gather_coeffs(tbl, mu_i, mu_o):
     """Weighted 4x4 gather of coefficient vectors -> ak [N,3,M]."""
     n = tbl["mu"].shape[0]
@@ -224,19 +297,23 @@ def _gather_coeffs(tbl, mu_i, mu_o):
     return out
 
 
-def fourier_f(tbl, wo, wi):
-    """f(wo, wi) [N,3] from a device table bundle."""
-    # pbrt convention: mu_i = cos(-wi), mu_o = cos(wo)
+def _mu_phi(wo, wi):
+    """pbrt angle convention: mu_i = cos(-wi), mu_o = cos(wo), phi = the
+    azimuth difference between -wi and wo (sign-free; the series is even)."""
     mu_i = -wi[..., 2]
     mu_o = wo[..., 2]
-    ak = _gather_coeffs(tbl, mu_i, mu_o)  # [N,3,M]
-    # cos(delta phi) between -wi and wo azimuths: cos(phiO - phiI)
     si2 = jnp.maximum(1.0 - mu_i * mu_i, 0.0)
     so2 = jnp.maximum(1.0 - mu_o * mu_o, 0.0)
     denom = jnp.sqrt(jnp.maximum(si2 * so2, 1e-14))
     cos_dphi = ((-wi[..., 0]) * wo[..., 0] + (-wi[..., 1]) * wo[..., 1]) / denom
     cos_dphi = jnp.where(denom < 1e-7, 1.0, jnp.clip(cos_dphi, -1.0, 1.0))
-    phi = jnp.arccos(cos_dphi)
+    return mu_i, mu_o, jnp.arccos(cos_dphi)
+
+
+def fourier_f(tbl, wo, wi):
+    """f(wo, wi) [N,3] from a device table bundle."""
+    mu_i, mu_o, phi = _mu_phi(wo, wi)
+    ak = _gather_coeffs(tbl, mu_i, mu_o)  # [N,3,M]
     m = ak.shape[-1]
     ks = jnp.arange(m, dtype=wo.dtype)
     cosk = jnp.cos(ks[None, :] * phi[:, None])  # [N,M]
@@ -253,18 +330,116 @@ def fourier_f(tbl, wo, wi):
     return rgb * scale[:, None]
 
 
-def fourier_pdf(wo, wi):
-    """Two-sided cosine pdf matching fourier sampling (50/50 hemispheres)."""
-    return 0.5 * jnp.abs(wi[..., 2]) * INV_PI
+# -- importance sampling ------------------------------------------------------
 
 
-def fourier_sample_wi(wo, u_lobe, u2):
-    """Cosine lobe on wo's side w.p. 1/2, else the opposite side."""
-    from pbrt_tpu.core.sampling import cosine_sample_hemisphere
+def _row_pos(grid, x):
+    """Continuous index of x in a uniform grid: (lower cell, fraction)."""
+    n = grid.shape[0]
+    pos = (x - grid[0]) / (grid[-1] - grid[0]) * (n - 1)
+    pos = jnp.clip(pos, 0.0, n - 1.0)
+    k = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    return k, pos - k
 
-    wi = cosine_sample_hemisphere(u2)
-    sign_o = jnp.sign(jnp.where(wo[..., 2] == 0.0, 1.0, wo[..., 2]))
-    side = jnp.where(u_lobe < 0.5, sign_o, -sign_o)
-    return wi * jnp.stack(
-        [jnp.ones_like(side), jnp.ones_like(side), side], axis=-1
+
+def _row_density(tbl, row, mu_i):
+    """Normalized piecewise-linear density of one mu_o row at mu_i [N]."""
+    k, t = _row_pos(tbl["i_grid"], mu_i)
+    a = tbl["pdf_mu"][row, k]
+    b = tbl["pdf_mu"][row, k + 1]
+    norm = tbl["cdf_mu"][row, -1]
+    return (a + (b - a) * t) / jnp.maximum(norm, 1e-20)
+
+
+def _zenith_pdf(tbl, mu_o, mu_i):
+    """p(mu_i | mu_o): the two-row mixture the sampler actually draws from."""
+    o0, frac = _row_pos(tbl["o_grid"], mu_o)
+    return (1.0 - frac) * _row_density(tbl, o0, mu_i) + frac * _row_density(
+        tbl, o0 + 1, mu_i
     )
+
+
+def _sample_mu(tbl, mu_o, u_row, u):
+    """Invert the zenith CDF: stochastic row choice (probability = the
+    bilinear mu_o fraction, so the sampled marginal IS the mixture
+    :func:`_zenith_pdf` computes), then a closed-form piecewise-linear
+    inversion — searchsorted into the row CDF + stable quadratic solve."""
+    o0, frac = _row_pos(tbl["o_grid"], mu_o)
+    row = jnp.where(u_row < frac, o0 + 1, o0)
+    cdf = tbl["cdf_mu"][row]  # [N, n_i]
+    target = u * cdf[:, -1]
+    k = jnp.clip(
+        jnp.sum(cdf <= target[:, None], axis=-1) - 1, 0, cdf.shape[-1] - 2
+    )
+    lanes = jnp.arange(cdf.shape[0])
+    g = tbl["i_grid"]
+    a = tbl["pdf_mu"][row, k]
+    b = tbl["pdf_mu"][row, k + 1]
+    dx = g[k + 1] - g[k]
+    y = jnp.maximum(target - cdf[lanes, k], 0.0)
+    s = (b - a) / jnp.maximum(dx, 1e-12)
+    # 0.5 s t^2 + a t = y  ->  t = 2y / (a + sqrt(a^2 + 2sy))  (Muller form,
+    # stable as s -> 0)
+    disc = jnp.sqrt(jnp.maximum(a * a + 2.0 * s * y, 0.0))
+    t = 2.0 * y / jnp.maximum(a + disc, 1e-20)
+    return g[k] + jnp.clip(t, 0.0, dx)
+
+
+def _sample_phi(a_y, u):
+    """Draw phi in (-pi, pi] from p(phi) = f_y(phi) / (2 pi a0), inverting
+    F(phi) = a0 phi + sum_k a_k sin(k phi)/k on [0, pi] (F(pi) = pi a0
+    exactly) by bisection-guarded Newton — pbrt SampleFourier
+    (interpolation.cpp) with a fixed trip count instead of convergence
+    exits.  Returns (phi, f_y(phi))."""
+    m = a_y.shape[-1]
+    a0 = a_y[:, 0]
+    flip = u >= 0.5
+    u = jnp.where(flip, 2.0 * (1.0 - u), 2.0 * u)
+    target = u * a0 * PI
+    lo = jnp.zeros_like(u)
+    hi = jnp.full_like(u, PI)
+    phi = 0.5 * (lo + hi)
+    ks = jnp.arange(1, m, dtype=a_y.dtype)
+    fval = a0
+    for _ in range(16):
+        kphi = ks[None, :] * phi[:, None]
+        F = a0 * phi + jnp.sum(a_y[:, 1:] * jnp.sin(kphi) / ks[None, :], axis=-1)
+        fval = a0 + jnp.sum(a_y[:, 1:] * jnp.cos(kphi), axis=-1)
+        err = F - target
+        lo = jnp.where(err < 0, phi, lo)
+        hi = jnp.where(err > 0, phi, hi)
+        newton = phi - err / jnp.maximum(fval, 1e-7)
+        ok = (newton > lo) & (newton < hi) & (fval > 1e-7)
+        phi = jnp.where(ok, newton, 0.5 * (lo + hi))
+    return jnp.where(flip, -phi, phi), fval
+
+
+def fourier_pdf_tbl(tbl, wo, wi):
+    """Solid-angle pdf of :func:`fourier_sample_wi_tbl`:
+    p(mu_i | mu_o) * f_y(phi) / (2 pi a0_y)  (dw = dmu dphi)."""
+    mu_i, mu_o, phi = _mu_phi(wo, wi)
+    p_mu = _zenith_pdf(tbl, mu_o, mu_i)
+    a_y = _gather_coeffs(tbl, mu_i, mu_o)[:, 0, :]  # luminance channel
+    m = a_y.shape[-1]
+    ks = jnp.arange(m, dtype=wo.dtype)
+    f_y = jnp.sum(a_y * jnp.cos(ks[None, :] * phi[:, None]), axis=-1)
+    p_phi = jnp.maximum(f_y, 0.0) / (2.0 * PI * jnp.maximum(a_y[:, 0], 1e-9))
+    return jnp.maximum(p_mu * p_phi, 0.0)
+
+
+def fourier_sample_wi_tbl(tbl, wo, u_lobe, u2):
+    """Importance-sample wi: mu_i from the tabulated zenith marginal
+    (u_lobe picks the mixture row, u2[...,0] the distance), phi from the
+    luminance Fourier series (u2[...,1]).  -wi has zenith cosine mu_i and
+    azimuth phi_o + phi."""
+    mu_o = wo[..., 2]
+    mu_i = _sample_mu(tbl, mu_o, u_lobe, u2[..., 0])
+    a_y = _gather_coeffs(tbl, mu_i, mu_o)[:, 0, :]
+    phi, _ = _sample_phi(a_y, u2[..., 1])
+    phi_o = jnp.arctan2(wo[..., 1], wo[..., 0])
+    v = phi_o + phi
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - mu_i * mu_i, 0.0))
+    neg_wi = jnp.stack(
+        [sin_i * jnp.cos(v), sin_i * jnp.sin(v), mu_i], axis=-1
+    )
+    return -neg_wi

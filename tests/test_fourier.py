@@ -17,8 +17,8 @@ from pbrt_tpu.materials import bsdf as B
 from pbrt_tpu.materials.fourier import (
     FourierTable,
     fourier_f,
-    fourier_pdf,
-    fourier_sample_wi,
+    fourier_pdf_tbl,
+    fourier_sample_wi_tbl,
 )
 
 PI = np.pi
@@ -66,8 +66,8 @@ def test_table_file_round_trip(tmp_path):
 
 
 def test_fourier_sampling_energy():
-    """E[f |cos| / pdf] over the two-sided cosine sampler = hemispherical
-    albedo = rho for the Lambertian table."""
+    """E[f |cos| / pdf] over the tabulated importance sampler =
+    hemispherical albedo = rho for the Lambertian table."""
     tbl = FourierTable.lambertian(RHO, n_mu=64).device_arrays()
     n = 100_000
     rng = np.random.default_rng(6)
@@ -75,12 +75,101 @@ def test_fourier_sampling_energy():
     wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
     u_lobe = jnp.asarray(rng.random(n, dtype=np.float32))
     u2 = jnp.asarray(rng.random((n, 2), dtype=np.float32))
-    wi = fourier_sample_wi(wo, u_lobe, u2)
+    wi = fourier_sample_wi_tbl(tbl, wo, u_lobe, u2)
     f = fourier_f(tbl, wo, wi)
-    pdf = fourier_pdf(wo, wi)
+    pdf = fourier_pdf_tbl(tbl, wo, wi)
     w = f * (jnp.abs(wi[:, 2]) / jnp.maximum(pdf, 1e-9))[:, None]
     est = np.asarray(w.mean(axis=0))
-    assert np.allclose(est, RHO, rtol=0.1), est
+    assert np.allclose(est, RHO, rtol=0.05), est
+    # importance sampling: all mass lands on the reflection side
+    assert (np.asarray(wi[:, 2]) > 0).mean() > 0.999
+
+
+def _pdf_grid(tbl, wo1, n_mu=256, n_phi=256):
+    """Quadrature grid of the sampler pdf over (mu_i, phi) for one wo."""
+    mus = np.linspace(-1 + 1e-4, 1 - 1e-4, n_mu).astype(np.float32)
+    phis = np.linspace(-PI + 1e-4, PI - 1e-4, n_phi).astype(np.float32)
+    mm, pp = np.meshgrid(mus, phis, indexing="ij")
+    phi_o = np.arctan2(wo1[1], wo1[0])
+    v = phi_o + pp
+    s = np.sqrt(np.maximum(1 - mm * mm, 0.0))
+    wi = -np.stack([s * np.cos(v), s * np.sin(v), mm], axis=-1).reshape(-1, 3)
+    wo = np.broadcast_to(wo1, wi.shape).astype(np.float32)
+    pdf = np.asarray(fourier_pdf_tbl(tbl, jnp.asarray(wo), jnp.asarray(wi)))
+    return mus, phis, pdf.reshape(n_mu, n_phi)
+
+
+def test_fourier_pdf_normalized_and_matches_histogram():
+    """The pdf integrates to ~1 over (mu_i, phi) and the sampled zenith
+    histogram matches the quadrature of the same pdf — sampler and pdf
+    describe the same distribution (exact MIS compatibility)."""
+    tbl = FourierTable.lambertian(RHO, n_mu=64).device_arrays()
+    wo1 = np.array([0.45, 0.15, 0.88], dtype=np.float32)
+    wo1 /= np.linalg.norm(wo1)
+    mus, phis, pdf = _pdf_grid(tbl, wo1)
+    total = np.trapezoid(np.trapezoid(pdf, phis, axis=1), mus)
+    np.testing.assert_allclose(total, 1.0, rtol=0.02)
+
+    n = 400_000
+    rng = np.random.default_rng(9)
+    wo = jnp.broadcast_to(jnp.asarray(wo1), (n, 3))
+    wi = fourier_sample_wi_tbl(
+        tbl, wo,
+        jnp.asarray(rng.random(n, dtype=np.float32)),
+        jnp.asarray(rng.random((n, 2), dtype=np.float32)),
+    )
+    mu_samp = -np.asarray(wi[:, 2])
+    marg = np.trapezoid(pdf, phis, axis=1)  # zenith marginal on mus grid
+    edges = np.linspace(-1, 1, 11)
+    hist, _ = np.histogram(mu_samp, bins=edges)
+    frac = hist / n
+    for b in range(10):
+        seg = np.linspace(edges[b], edges[b + 1], 400)
+        want = np.trapezoid(np.interp(seg, mus, marg), seg)
+        assert abs(frac[b] - want) < 0.01, (b, frac[b], want)
+
+
+def test_fourier_phi_importance_sampling():
+    """A glossy synthetic table (a_k = [1, .6, .3, .1]) must produce a phi
+    histogram proportional to its own azimuthal series."""
+    coeffs = np.array([1.0, 0.6, 0.3, 0.1])
+    n_mu = 32
+    mu = np.linspace(-1, 1, n_mu)
+    oal = np.zeros((n_mu * n_mu, 2), dtype=np.int64)
+    runs, off = [], 0
+    for i in range(n_mu):
+        for j in range(n_mu):
+            if mu[i] * mu[j] < 0:
+                a = np.outer(np.ones(3), coeffs * abs(mu[i])).astype(np.float32)
+                oal[i * n_mu + j] = (off, 4)
+                runs.append(a.reshape(-1))
+                off += 12
+    a = np.concatenate(runs)
+    tbl = FourierTable(1.0, mu, oal, a, m_max=4, n_channels=3).device_arrays()
+
+    n = 400_000
+    rng = np.random.default_rng(11)
+    wo1 = np.array([0.6, 0.0, 0.8], dtype=np.float32)
+    wo = jnp.broadcast_to(jnp.asarray(wo1), (n, 3))
+    wi = fourier_sample_wi_tbl(
+        tbl, wo,
+        jnp.asarray(rng.random(n, dtype=np.float32)),
+        jnp.asarray(rng.random((n, 2), dtype=np.float32)),
+    )
+    from pbrt_tpu.materials.fourier import _mu_phi
+
+    _, _, phi = _mu_phi(wo, wi)
+    phi = np.asarray(phi)  # in [0, pi] (arccos folds the sign)
+    dens = lambda p: sum(c * np.cos(k * p) for k, c in enumerate(coeffs))
+    edges = np.linspace(0, PI, 9)
+    hist, _ = np.histogram(phi, bins=edges)
+    frac = hist / n
+    grid = np.linspace(0, PI, 2001)
+    norm = np.trapezoid(dens(grid), grid)
+    for b in range(8):
+        seg = np.linspace(edges[b], edges[b + 1], 200)
+        want = np.trapezoid(dens(seg), seg) / norm
+        assert abs(frac[b] - want) < 0.012, (b, frac[b], want)
 
 
 def test_fourier_material_end_to_end(tmp_path):

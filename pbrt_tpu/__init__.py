@@ -87,6 +87,14 @@ class Options:
     mesh_shape: tuple | None = None  # e.g. (("dp", 4), ("sp", 2))
     ray_batch: int = 1 << 16  # rays per wavefront step
     checkpoint_dir: str | None = None
+    # full spectral transport (the reference's `sampled-spectrum` cargo
+    # feature, Cargo.toml:26-28, as a render mode); default from env like
+    # PBRT_TPU_DOUBLE.  n_spectral_bins must be a multiple of 3 and divide
+    # 60 evenly into strides (60, 30, 15, 6, 3).
+    sampled_spectrum: bool = os.environ.get(
+        "PBRT_TPU_SAMPLED_SPECTRUM", "0"
+    ) not in ("", "0", "false")
+    n_spectral_bins: int = 15
 
 
 # ---------------------------------------------------------------------------

@@ -192,9 +192,21 @@ class ParamSet:
         v = self._find_one(name, NORMAL3, None)
         return np.asarray(default if v is None else v, dtype=float_t)
 
-    def find_one_spectrum(self, name, default):
+    def find_one_spectrum_raw(self, name, default):
+        """RGB value with no spectral-pass promotion — for callers that
+        combine several RGB factors (e.g. light L x scale x map) and must
+        promote the *product* exactly once."""
         v = self._find_one(name, SPECTRUM, None)
         return np.asarray(default if v is None else v, dtype=float_t)
+
+    def find_one_spectrum(self, name, default, illuminant: bool = False):
+        out = self.find_one_spectrum_raw(name, default)
+        # active spectral pass: RGB -> 3 wavelength-bin samples.  Emission
+        # values pass illuminant=True (illuminant basis); everything else
+        # is a reflectance.
+        from pbrt_tpu.core.spectrum import promote_rgb
+
+        return promote_rgb(out, illuminant=illuminant)
 
     def find_one_string(self, name, default: str) -> str:
         return str(self._find_one(name, STRING, default))
@@ -244,7 +256,12 @@ class ParamSet:
         return self._find(name, NORMAL3)
 
     def find_spectrum(self, name):
-        return self._find(name, SPECTRUM)
+        v = self._find(name, SPECTRUM)
+        if v is None:
+            return None
+        from pbrt_tpu.core.spectrum import promote_rgb
+
+        return promote_rgb(np.asarray(v, dtype=float_t))
 
     def find_string(self, name):
         return self._find(name, STRING)

@@ -133,13 +133,22 @@ def sampled_to_rgb(samples):
     return xyz_to_rgb(sampled_to_xyz(samples))
 
 
-def _smits_basis():
+def _smits_basis(reflectance: bool = False):
     """Smits-style smooth basis spectra for white/c/m/y/r/g/b.
 
-    Computed (not tabulated from pbrt): least-squares smooth spectra whose
-    XYZ projections reproduce the corners of the sRGB cube under the CIE
-    fits above.  Good enough for reflectance promotion RGB->spectrum; the
-    default render path stays RGB.
+    Computed (not tabulated from pbrt): minimum-curvature spectra whose
+    projections reproduce the corners of the sRGB cube, in the spirit of
+    pbrt-v3's separate RGBIllum2Spect/RGBRefl2Spect tables (spectrum.cpp).
+
+    * illuminant basis (default): CMF . S = XYZ(rgb) — a light with this
+      spectrum *is* that color.
+    * reflectance basis: (CMF . diag(W)) . S = XYZ(rgb), where W is the
+      illuminant white — a surface with this spectrum *looks* like that
+      color under the white light.  The white-reflectance constraint is
+      satisfied by the flat spectrum S == 1, which has zero curvature, so
+      the KKT solution makes white exactly flat: gray transport composes
+      exactly (0.5^n stays 0.5^n), and every single reflection is
+      XYZ-exact by linearity of the Smits case mixing.
     """
     # Solve for each basis: minimize curvature subject to matching XYZ.
     n = N_SPECTRAL_SAMPLES
@@ -151,6 +160,8 @@ def _smits_basis():
         d[i, i + 2] = 1.0
     a_smooth = d.T @ d + 1e-6 * np.eye(n)
     cmf = np.stack([_CIE_X, _CIE_Y, _CIE_Z], axis=0) / _CIE_Y_INTEGRAL  # 3 x n
+    if reflectance:
+        cmf = cmf * _smits_basis(reflectance=False)["white"][None, :]
     targets = {
         "white": (1.0, 1.0, 1.0),
         "red": (1.0, 0.0, 0.0),
@@ -175,20 +186,62 @@ def _smits_basis():
     return basis
 
 
-_SMITS = None
+_SMITS = {}
+
+# ---------------------------------------------------------------------------
+# Spectral-pass context (mirrors the reference's `sampled-spectrum` feature,
+# Cargo.toml:26-28 / spectrum.rs:151-193 — there a compile-time type switch,
+# here a render-mode).  Spectral transport is diagonal in wavelength (no
+# fluorescence), so a full N_SPECTRAL_SAMPLES render decomposes into
+# independent per-bin renders; pbrt_tpu runs them 3 bins at a time through
+# the unchanged RGB pipeline (the three "color channels" of a pass ARE three
+# wavelength bins).  While a pass is active, every point where host RGB data
+# enters the scene build (ParamSet spectrum getters, image-texture texels,
+# light maps) promotes RGB -> Smits spectrum -> the pass's 3 bin samples.
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_BINS = None  # None, or an int ndarray of 3 bin indices into _WL
+
+
+def set_spectral_bins(bins):
+    """Activate (or with None, deactivate) a 3-bin spectral render pass."""
+    global _SPECTRAL_BINS
+    if bins is None:
+        _SPECTRAL_BINS = None
+    else:
+        b = np.asarray(bins, dtype=np.int64)
+        if b.shape != (3,):
+            raise ValueError("spectral pass needs exactly 3 bin indices")
+        _SPECTRAL_BINS = b
+
+
+def get_spectral_bins():
+    return _SPECTRAL_BINS
+
+
+def promote_rgb(rgb, illuminant: bool = False):
+    """RGB [...,3] -> the active pass's 3 spectral-bin samples (passthrough
+    when no spectral pass is active)."""
+    if _SPECTRAL_BINS is None:
+        return np.asarray(rgb, dtype=float_t)
+    s = rgb_to_sampled(rgb, illuminant=illuminant)
+    return np.ascontiguousarray(s[..., _SPECTRAL_BINS]).astype(float_t)
 
 
 def rgb_to_sampled(rgb, illuminant: bool = False):
     """Promote RGB [..., 3] to a sampled spectrum [..., 60] (Smits 1999).
 
     Vectorized over leading axes; the six min/mid/max cases of Smits'
-    algorithm expressed with ``np.where`` masks.  Exact in XYZ by linearity
-    of the basis construction.
+    algorithm expressed with ``np.where`` masks.  Illuminants are exact in
+    XYZ; reflectances are exact in XYZ as viewed under the illuminant
+    white (see :func:`_smits_basis`).
     """
-    global _SMITS
-    if _SMITS is None:
-        _SMITS = _smits_basis()
-    bs = _SMITS
+    key = bool(illuminant)
+    if key not in _SMITS:
+        # illuminant basis = plain CMF constraint; reflectance weights the
+        # CMF by the illuminant white
+        _SMITS[key] = _smits_basis(reflectance=not key)
+    bs = _SMITS[key]
     rgb = np.asarray(rgb, dtype=np.float64)
     r = rgb[..., 0:1]
     g = rgb[..., 1:2]

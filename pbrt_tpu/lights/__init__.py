@@ -140,7 +140,8 @@ class GonioPhotometricLight(Light):
         from pbrt_tpu.core.mipmap import MIPMap
 
         self.p = np.asarray(light_to_world.apply_p(np.zeros(3)), dtype=float_t)
-        self.intensity = np.asarray(intensity, dtype=float_t)
+        raw = np.asarray(intensity, dtype=float_t)  # raw RGB tint
+        self.intensity = _promote_emission(raw)
         self._pd = jnp.asarray(self.p)
         self._id = jnp.asarray(self.intensity)
         _, self._w2l = _to_dev(light_to_world)
@@ -150,7 +151,9 @@ class GonioPhotometricLight(Light):
                 from pbrt_tpu.core.imageio import read_image
 
                 img, _ = read_image(mapname)
-                self.mipmap = MIPMap(np.asarray(img))
+                # promote (tint x map) once; eval then multiplies by 1
+                self.mipmap = MIPMap(_promote_emission(np.asarray(img) * raw))
+                self._id = jnp.ones((3,), dtype=self._id.dtype)
             except (OSError, ValueError) as e:
                 log.error("goniometric: cannot read '%s': %s", mapname, e)
 
@@ -184,7 +187,8 @@ class ProjectionLight(Light):
         from pbrt_tpu.core.mipmap import MIPMap
 
         self.p = np.asarray(light_to_world.apply_p(np.zeros(3)), dtype=float_t)
-        self.intensity = np.asarray(intensity, dtype=float_t)
+        raw = np.asarray(intensity, dtype=float_t)  # raw RGB tint
+        self.intensity = _promote_emission(raw)
         self._pd = jnp.asarray(self.p)
         self._id = jnp.asarray(self.intensity)
         _, self._w2l = _to_dev(light_to_world)
@@ -195,7 +199,9 @@ class ProjectionLight(Light):
                 from pbrt_tpu.core.imageio import read_image
 
                 img, (w, h) = read_image(mapname)
-                self.mipmap = MIPMap(np.asarray(img))
+                # promote (tint x map) once; eval then multiplies by 1
+                self.mipmap = MIPMap(_promote_emission(np.asarray(img) * raw))
+                self._id = jnp.ones((3,), dtype=self._id.dtype)
                 aspect = w / h
             except (OSError, ValueError) as e:
                 log.error("projection: cannot read '%s': %s", mapname, e)
@@ -255,7 +261,8 @@ class InfiniteAreaLight(Light):
             jnp.asarray(light_to_world.m.astype(float_t)),
             jnp.asarray(light_to_world.m_inv.astype(float_t)),
         )
-        self.l_rgb = np.asarray(l_rgb, dtype=float_t)
+        raw = np.asarray(l_rgb, dtype=float_t)  # raw RGB tint
+        self.l_rgb = _promote_emission(raw)
         self._ld = jnp.asarray(self.l_rgb)
         self.mipmap = None
         self.distribution = None
@@ -264,7 +271,10 @@ class InfiniteAreaLight(Light):
                 from pbrt_tpu.core.imageio import read_image
 
                 img, (w, h) = read_image(mapname)
-                img = np.asarray(img, dtype=np.float64) * self.l_rgb[None, None]
+                # promote (tint x map) once, illuminant basis
+                img = _promote_emission(
+                    np.asarray(img, dtype=np.float64) * raw[None, None]
+                ).astype(np.float64)
                 self.mipmap = MIPMap(img.astype(float_t))
                 lum = 0.212671 * img[..., 0] + 0.715160 * img[..., 1] + 0.072169 * img[..., 2]
                 sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h)
@@ -412,23 +422,38 @@ class DiffuseAreaLight(Light):
 # ---------------------------------------------------------------------------
 
 
+def _promote_emission(rgb):
+    """Promote an RGB emission product via the illuminant Smits basis
+    (no-op outside a spectral pass)."""
+    from pbrt_tpu.core.spectrum import promote_rgb
+
+    return promote_rgb(rgb, illuminant=True)
+
+
 def make_light(record) -> Light | None:
     """LightRecord (core/api.py) -> Light instance."""
     name, params, l2w = record.name, record.params, record.light_to_world
     one = np.ones(3, dtype=float_t)
     zero3 = np.zeros(3, dtype=float_t)
     if name in ("infinite", "exinfinite"):
-        l_rgb = params.find_one_spectrum("L", one)
-        scale = params.find_one_spectrum("scale", one)
+        l_rgb = params.find_one_spectrum_raw("L", one)
+        scale = params.find_one_spectrum_raw("scale", one)
         mapname = params.find_one_filename("mapname", "")
         params.find_one_int("samples", params.find_one_int("nsamples", 1))
+        # raw RGB tint: the light promotes (tint x map) once, illuminant basis
         return InfiniteAreaLight(l2w, l_rgb * scale, mapname)
     if name == "point":
-        i = params.find_one_spectrum("I", one) * params.find_one_spectrum("scale", one)
+        i = _promote_emission(
+            params.find_one_spectrum_raw("I", one)
+            * params.find_one_spectrum_raw("scale", one)
+        )
         from_p = params.find_one_point3f("from", zero3)
         return PointLight(l2w * Transform.translate(from_p), i)
     if name == "spot":
-        i = params.find_one_spectrum("I", one) * params.find_one_spectrum("scale", one)
+        i = _promote_emission(
+            params.find_one_spectrum_raw("I", one)
+            * params.find_one_spectrum_raw("scale", one)
+        )
         cone = params.find_one_float("coneangle", 30.0)
         delta = params.find_one_float("conedeltaangle", 5.0)
         from_p = params.find_one_point3f("from", zero3)
@@ -449,15 +474,18 @@ def make_light(record) -> Light | None:
             l2w = l2w * T.translate(from_p)
         return SpotLight(l2w, i, cone, delta)
     if name == "distant":
-        l_rgb = params.find_one_spectrum("L", one) * params.find_one_spectrum("scale", one)
+        l_rgb = _promote_emission(
+            params.find_one_spectrum_raw("L", one)
+            * params.find_one_spectrum_raw("scale", one)
+        )
         from_p = params.find_one_point3f("from", zero3)
         to_p = params.find_one_point3f("to", np.array([0, 0, 1], dtype=float_t))
         return DistantLight(l2w, l_rgb, from_p, to_p)
     if name == "goniometric":
-        i = params.find_one_spectrum("I", one) * params.find_one_spectrum("scale", one)
+        i = params.find_one_spectrum_raw("I", one) * params.find_one_spectrum_raw("scale", one)
         return GonioPhotometricLight(l2w, i, params.find_one_filename("mapname", ""))
     if name == "projection":
-        i = params.find_one_spectrum("I", one) * params.find_one_spectrum("scale", one)
+        i = params.find_one_spectrum_raw("I", one) * params.find_one_spectrum_raw("scale", one)
         fov = params.find_one_float("fov", 45.0)
         return ProjectionLight(l2w, i, params.find_one_filename("mapname", ""), fov)
     log.warning("Light '%s' unknown.", name)

@@ -187,6 +187,12 @@ class Renderer:
 def render_scene(desc, options: Options | None = None, seed: int = 0,
                  write: bool = True):
     """Parse-result -> image on disk; returns dict with film state + image."""
+    opt = options or Options()
+    if opt.sampled_spectrum:
+        from pbrt_tpu.core import spectrum as S
+
+        if S.get_spectral_bins() is None:  # not already inside a pass
+            return render_scene_spectral(desc, opt, seed, write)
     r = Renderer(desc, options, seed)
     t0 = time.time()
     state = r.render()
@@ -209,3 +215,61 @@ def render_scene(desc, options: Options | None = None, seed: int = 0,
         "renderer": r,
         "seconds": dt,
     }
+
+
+def render_scene_spectral(desc, options: Options | None = None, seed: int = 0,
+                          write: bool = True):
+    """Full spectral (sampled-spectrum) transport.
+
+    The reference reserves this as the compile-time ``sampled-spectrum``
+    feature (Cargo.toml:26-28, spectrum.rs:151-193, SampledSpectrum all
+    ``todo!``).  Spectral transport has no wavelength coupling (no
+    fluorescence/dispersion in the pbrt-v3 feature set), so the 60-bin
+    render decomposes exactly into independent per-bin renders; each pass
+    re-binds three wavelength bins to the RGB pipeline's three channels
+    (every host entry point for RGB data promotes via the Smits basis while
+    the pass is active), and the per-bin radiances integrate against the
+    CIE fits into XYZ.  ``options.n_spectral_bins`` controls the stride
+    (15 default = 5 passes; 60 = the full grid)."""
+    from pbrt_tpu.core import spectrum as S
+
+    opt = options or Options()
+    n_bins = int(opt.n_spectral_bins)
+    k = S.N_SPECTRAL_SAMPLES
+    if n_bins % 3 or k % n_bins:
+        raise ValueError(
+            f"n_spectral_bins={n_bins} must be a multiple of 3 dividing {k}"
+        )
+    stride = k // n_bins
+    chosen = np.arange(n_bins) * stride + stride // 2
+    t0 = time.time()
+    xyz = None
+    film = None
+    try:
+        for p in range(n_bins // 3):
+            bins = chosen[3 * p : 3 * p + 3]
+            S.set_spectral_bins(bins)
+            out = render_scene(desc, opt, seed, write=False)
+            film = out["film"]
+            img = np.asarray(out["image"], dtype=np.float64)  # 3 bin radiances
+            cmf = np.stack(
+                [S._CIE_X[bins], S._CIE_Y[bins], S._CIE_Z[bins]]
+            )  # [3 xyz, 3 bins]
+            contrib = np.einsum("hwb,cb->hwc", img, cmf)
+            xyz = contrib if xyz is None else xyz + contrib
+            log.info("spectral pass %d/%d (bins %s)", p + 1, n_bins // 3, bins)
+    finally:
+        S.set_spectral_bins(None)
+    xyz = xyz * (stride / S._CIE_Y_INTEGRAL)
+    img = np.asarray(S.xyz_to_rgb(xyz.astype(float_t)))
+    dt = time.time() - t0
+    log.info("Spectral render (%d bins, %d passes) in %.2fs", n_bins,
+             n_bins // 3, dt)
+    if write and film is not None and film.filename:
+        from pbrt_tpu.core.imageio import write_image as io_write
+
+        io_write(film.filename, img.astype(float_t), film.cropped_pixel_bounds,
+                 film.full_resolution)
+        log.info("Wrote %s", film.filename)
+    return {"image": img.astype(float_t), "film": film, "seconds": dt,
+            "xyz": xyz}

@@ -249,8 +249,12 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             light_idx = -1
             if has_area:
                 ap = rec.area_light_params
-                l_emit = ap.find_one_spectrum("L", np.ones(3, dtype=float_t)) * ap.find_one_spectrum(
-                    "scale", np.ones(3, dtype=float_t)
+                from pbrt_tpu.core.spectrum import promote_rgb
+
+                l_emit = promote_rgb(
+                    ap.find_one_spectrum_raw("L", np.ones(3, dtype=float_t))
+                    * ap.find_one_spectrum_raw("scale", np.ones(3, dtype=float_t)),
+                    illuminant=True,
                 )
                 two_sided = ap.find_one_bool("twosided", False)
                 al = DiffuseAreaLight(

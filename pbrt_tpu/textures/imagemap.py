@@ -42,6 +42,12 @@ class ImageTexture:
         if not spectral:
             # float texture: luminance-ish average
             img = img.mean(axis=-1, keepdims=True)
+        else:
+            # active spectral pass: promote linear texel RGB to bin samples
+            from pbrt_tpu.core.spectrum import get_spectral_bins, promote_rgb
+
+            if get_spectral_bins() is not None:
+                img = promote_rgb(img).astype(np.float64)
         # pbrt flips v: image row 0 is top; texture t=0 is bottom
         img = img[::-1]
         self.mipmap = MIPMap(

@@ -50,6 +50,22 @@ class ProjectiveCamera:
         self.raster_to_camera = camera_to_screen.inverse() * raster_to_screen
         self._r2c = jnp.asarray(self.raster_to_camera.m.astype(float_t))
         self._c2w = jnp.asarray(self.camera_to_world.m.astype(float_t))
+        self._w2c = jnp.asarray(self.camera_to_world.m_inv.astype(float_t))
+        self._c2r = jnp.asarray(self.raster_to_camera.m_inv.astype(float_t))
+        self.resolution = (int(res_x), int(res_y))
+        # importance normalization: film area on the camera-space z=1 plane
+        # (pbrt-v3 PerspectiveCamera constructor, cameras/perspective.cpp)
+        pmin = self.raster_to_camera.apply_p(np.zeros(3))
+        pmax = self.raster_to_camera.apply_p(np.array([res_x, res_y, 0.0]))
+        if abs(pmin[2]) > 1e-9 and abs(pmax[2]) > 1e-9:
+            pmin = pmin / pmin[2]
+            pmax = pmax / pmax[2]
+            self.film_area = float(abs((pmax[0] - pmin[0]) * (pmax[1] - pmin[1])))
+        else:
+            self.film_area = 1.0
+        self.cam_pos_world = np.asarray(
+            self.camera_to_world.apply_p(np.zeros(3)), dtype=float_t
+        )
 
 
 class PerspectiveCamera(ProjectiveCamera):
@@ -87,6 +103,51 @@ class PerspectiveCamera(ProjectiveCamera):
         d_w = apply_vector(self._c2w, d)
         d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
         return o_w, d_w, jnp.ones(n, dtype=float_t)
+
+    # -- camera importance (pbrt-v3 We/Pdf_We, cameras/perspective.cpp) -----
+    # pinhole only (lens_radius == 0); used by BDPT's light-tracing (t=1)
+    # strategies and their MIS densities.
+
+    @property
+    def supports_light_tracing(self):
+        return self.lens_radius == 0.0
+
+    def pdf_we_dir(self, d_world):
+        """Directional density of generate_rays: 1/(A cos^3 theta) inside
+        the frustum, 0 outside (pbrt Pdf_We)."""
+        d_cam = apply_vector(self._w2c, d_world)
+        d_cam = d_cam / jnp.maximum(
+            jnp.linalg.norm(d_cam, axis=-1, keepdims=True), 1e-12
+        )
+        cos_t = d_cam[..., 2]
+        ok = cos_t > 1e-6
+        p_focus = d_cam / jnp.maximum(cos_t, 1e-6)[..., None]
+        p_raster = apply_point(self._c2r, p_focus)
+        rx, ry = self.resolution
+        ok = (
+            ok
+            & (p_raster[..., 0] >= 0.0) & (p_raster[..., 0] < rx)
+            & (p_raster[..., 1] >= 0.0) & (p_raster[..., 1] < ry)
+        )
+        pdf = 1.0 / jnp.maximum(self.film_area * cos_t**3, 1e-12)
+        return jnp.where(ok, pdf, 0.0)
+
+    def project(self, p_world):
+        """World point -> (raster [N,2], valid, cos theta, dist) relative to
+        the pinhole (pbrt We raster computation)."""
+        pc = apply_point(self._w2c, p_world)
+        dist = jnp.maximum(jnp.linalg.norm(pc, axis=-1), 1e-12)
+        cos_t = pc[..., 2] / dist
+        ok = cos_t > 1e-6
+        p_focus = pc / jnp.maximum(pc[..., 2], 1e-9)[..., None]
+        p_raster = apply_point(self._c2r, p_focus)
+        rx, ry = self.resolution
+        ok = (
+            ok
+            & (p_raster[..., 0] >= 0.0) & (p_raster[..., 0] < rx)
+            & (p_raster[..., 1] >= 0.0) & (p_raster[..., 1] < ry)
+        )
+        return p_raster[..., :2], ok, cos_t, dist
 
 
 class OrthographicCamera(ProjectiveCamera):

@@ -36,15 +36,28 @@ class Renderer:
         self._step = jax.jit(self._step_impl)
         self.rays_traced = 0
 
-    def _step_impl(self, state, pixel_xy, sample_index, lane_mask):
+    def _step_impl(self, state, pixel_xy, sample_index, lane_mask,
+                   splat_scale=1.0):
         sampler = self.sampler
         u_film = sampler.get2(pixel_xy, sample_index, 0)
         p_film = pixel_xy.astype(float_t) + u_film
         u_lens = sampler.get2(pixel_xy, sample_index, 2)
         o, d, w = self.camera.generate_rays(p_film, u_lens)
-        L = self.integrator.li(sampler, pixel_xy, sample_index, o, d)
+        if getattr(self.integrator, "provides_splats", False):
+            # integrators with light-tracing strategies (BDPT t=1) emit
+            # film splats at pixels other than the lane's own
+            L, splats = self.integrator.li_splat(
+                sampler, pixel_xy, sample_index, o, d
+            )
+        else:
+            L = self.integrator.li(sampler, pixel_xy, sample_index, o, d)
+            splats = []
         L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
-        return self.film.add_samples(state, p_film, L, mask=lane_mask)
+        state = self.film.add_samples(state, p_film, L, mask=lane_mask)
+        for ps, Ls, ms in splats:
+            Ls = jnp.where(jnp.isfinite(Ls), Ls, 0.0) * splat_scale
+            state = self.film.add_splats(state, ps, Ls, mask=ms & lane_mask)
+        return state
 
     def _step_impl_dense(self, flat, pixel_xy, sample_index, lane_mask,
                          pix_start, spp):
@@ -131,6 +144,8 @@ class Renderer:
             and sample_bounds.p_min == b.p_min
             and sample_bounds.p_max == b.p_max
             and batch % spp == 0
+            # splatting integrators scatter to arbitrary pixels
+            and not getattr(self.integrator, "provides_splats", False)
         )
         if dense:
             h, wdt = b.height, b.width
@@ -167,12 +182,14 @@ class Renderer:
             self.rays_traced += n_pix * spp
             return state
 
+        splat_scale = jnp.asarray(1.0 / spp, dtype=float_t)
         for ci in range(n_chunks):
             state = self._step(
                 state,
                 jnp.asarray(chunks[ci]),
                 jnp.asarray(sidx_chunks[ci]),
                 jnp.asarray(masks[ci]),
+                splat_scale,
             )
             if progress and (ci == 0 or ci == n_chunks - 1 or (ci + 1) % 8 == 0):
                 jax.block_until_ready(state["weight"])

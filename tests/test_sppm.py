@@ -57,11 +57,54 @@ def test_sppm_matches_path_tracer():
 
 def test_bdpt_matches_path_tracer():
     path_img = render("path")
-    bdpt_img = render("bdpt")
+    api = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)
+    api.init()
+    api.parse_string(BOX.format(integ="bdpt", extra=""))
+    out = render_scene(api.scene, api.opt, write=False)
+    bdpt_img = out["image"]
     assert np.isfinite(bdpt_img).all()
     p = path_img[14:22, 6:18].mean()
     b = bdpt_img[14:22, 6:18].mean()
     np.testing.assert_allclose(b, p, rtol=0.05)
+    # whole-image energy agreement (every (s,t) strategy weighted right)
+    np.testing.assert_allclose(bdpt_img.mean(), path_img.mean(), rtol=0.04)
+    # the light-tracing (t=1) strategies actually splatted energy
+    splat = np.abs(np.asarray(out["state"]["splat_xyz"])).sum()
+    assert splat > 0.0, "BDPT light-tracing splats missing"
+
+
+POINT_BOX = """
+LookAt 0 1 4  0 1 0  0 1 0
+Camera "perspective" "float fov" 60
+Sampler "halton" "integer pixelsamples" 32
+Integrator "{integ}" "integer maxdepth" 4
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+WorldBegin
+LightSource "point" "rgb I" [6 6 6] "point from" [0 2.2 0]
+Material "matte" "rgb Kd" [0.7 0.7 0.7]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -2.5 0 -2.5   2.5 0 -2.5   2.5 0 2.5   -2.5 0 2.5 ]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -2.5 0 -2.5   2.5 0 -2.5   2.5 2.5 -2.5   -2.5 2.5 -2.5 ]
+WorldEnd
+"""
+
+
+def test_bdpt_point_light_matches_path():
+    """Point lights: delta origin (s'=0 partition excluded) but traceable
+    (s>=2 and t=1 strategies live); totals must still match."""
+    def render_pt(integ):
+        api = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)
+        api.init()
+        api.parse_string(POINT_BOX.format(integ=integ))
+        return render_scene(api.scene, api.opt, write=False)["image"]
+
+    path_img = render_pt("path")
+    bdpt_img = render_pt("bdpt")
+    assert np.isfinite(bdpt_img).all()
+    np.testing.assert_allclose(bdpt_img.mean(), path_img.mean(), rtol=0.05)
+    c = (slice(14, 22), slice(6, 18))
+    np.testing.assert_allclose(bdpt_img[c].mean(), path_img[c].mean(), rtol=0.06)
 
 
 def test_mlt_matches_path_tracer():

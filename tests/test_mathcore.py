@@ -113,9 +113,23 @@ def test_blackbody_rgb_is_warm():
 
 def test_sampled_spectrum_roundtrip():
     rgbs = np.array([[1.0, 1.0, 1.0], [0.5, 0.2, 0.8], [0.0, 1.0, 0.0]])
-    s = spec.rgb_to_sampled(rgbs)
-    back = spec.sampled_to_rgb(s)
-    np.testing.assert_allclose(back, rgbs, atol=0.05)
+    # Illuminant promotion is XYZ-exact directly: a light with this
+    # spectrum IS that color.
+    s_illum = spec.rgb_to_sampled(rgbs, illuminant=True)
+    np.testing.assert_allclose(spec.sampled_to_rgb(s_illum), rgbs, atol=0.05)
+    # Reflectance promotion (the default) is exact as *viewed under the
+    # illuminant white*: CMF . (S_refl * W_white) == XYZ(rgb).
+    s_refl = spec.rgb_to_sampled(rgbs)
+    white = spec.rgb_to_sampled(np.array([1.0, 1.0, 1.0]), illuminant=True)
+    np.testing.assert_allclose(
+        spec.sampled_to_rgb(s_refl * white), rgbs, atol=0.05
+    )
+    # White reflectance is near-flat (flatness is the zero-curvature KKT
+    # solution, up to the smoothness regularizer), so gray transport
+    # composes to ~0.5^n.
+    np.testing.assert_allclose(
+        spec.rgb_to_sampled(np.array([0.5, 0.5, 0.5])), 0.5, atol=0.02
+    )
 
 
 def test_bounds2i_semantics():

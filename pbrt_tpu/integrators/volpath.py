@@ -8,9 +8,14 @@ direction), surviving lanes shade the surface as usual.  Crossing a
 surface whose shape declared a MediumInterface switches the lane's medium
 (entering -> inside, exiting -> outside).
 
-Round-1 approximations (documented):
-  * shadow-ray transmittance uses the lane's current medium over the full
-    unoccluded segment (no per-boundary segmentation).
+Null-material boundaries (pbrt's shaped volumes — e.g. smoke in a box with
+``Material ""``): when the scene contains null-material interface surfaces,
+each bounce marches up to ``passthrough_steps`` boundary crossings (medium
+sampling per segment, medium switch at each crossing, no depth consumed),
+and shadow rays accumulate per-segment transmittance through up to
+``shadow_segments`` boundaries (pbrt-v3 VisibilityTester::Tr,
+src/core/light.cpp) instead of treating any hit as opaque.  Lanes that
+exhaust the pass-through budget are conservatively terminated/occluded.
 
 Grid media use real delta tracking (distance sampling) and ratio tracking
 (shadow transmittance) — see pbrt_tpu/media/__init__.py; the tracking
@@ -39,9 +44,75 @@ N_DIMS_PER_BOUNCE = 10
 
 
 class VolPathIntegrator(PathIntegrator):
-    def __init__(self, compiled, max_depth=5, rr_threshold=1.0):
+    def __init__(self, compiled, max_depth=5, rr_threshold=1.0,
+                 passthrough_steps=3, shadow_segments=4):
         super().__init__(compiled, max_depth, rr_threshold)
         self.media = compiled.media
+        # static: does the scene contain null-material surfaces that rays
+        # must pass through (shaped volumes)?  If not, the march collapses
+        # to a single segment == the plain volumetric bounce.
+        self._mat_types = np.asarray(
+            [e.type_id for e in compiled.materials], dtype=np.int32
+        )
+        has_null = bool((self._mat_types == B.NONE).any())
+        self._has_passthrough = has_null and bool(compiled.media)
+        self.passthrough_steps = int(passthrough_steps) if self._has_passthrough else 1
+        self.shadow_segments = int(shadow_segments) if self._has_passthrough else 1
+
+    def _opaque_mask(self, hit_mask, mat_id):
+        """Hits whose surface has a real BSDF (blocks rays / ends the march)."""
+        if len(self._mat_types) == 0:
+            return hit_mask
+        types = jnp.asarray(self._mat_types)
+        t = types[jnp.clip(mat_id, 0, len(self._mat_types) - 1)]
+        return hit_mask & (mat_id >= 0) & (t != B.NONE)
+
+    def _shadow_tr(self, med, shadow_o, wi_w, l_dist, pixel_xy, sample_index,
+                   bounce):
+        """March a shadow ray through null-material boundaries: per-segment
+        medium transmittance, medium switch at each interface, opaque hits
+        occlude (pbrt-v3 VisibilityTester::Tr).  Returns (tr [N,3], occluded
+        [N])."""
+        c = self.c
+        n = wi_w.shape[0]
+        dt = wi_w.dtype
+        tr = jnp.ones((n, 3), dtype=dt)
+        occ = jnp.zeros((n,), dtype=bool)
+        cur_o = shadow_o
+        cur_med = med
+        remaining = jnp.maximum(
+            jnp.minimum(l_dist, 1e6) - 2 * SHADOW_EPS, 0.0
+        )
+        segs = self.shadow_segments
+        for seg in range(segs):
+            rng_seg = make_track_rng(
+                pixel_xy, sample_index, 1024 + bounce * segs + seg
+            )
+            h = c.intersector.intersect(cur_o, wi_w, remaining)
+            seg_len = jnp.where(h["hit"], h["t"], remaining)
+            if self.media:
+                tr = tr * self._medium_transmittance(
+                    cur_med, cur_o, wi_w, seg_len, rng_seg
+                )
+            if seg == segs - 1:
+                occ = occ | h["hit"]
+                break
+            si = compute_interaction(c.tables, h, cur_o, wi_w)
+            opaque = self._opaque_mask(h["hit"], si["mat"])
+            occ = occ | opaque
+            passing = h["hit"] & ~opaque
+            entering = jnp.sum(wi_w * si["ng"], axis=-1) < 0.0
+            new_med = jnp.where(entering, si["med_in"], si["med_out"])
+            cur_med = jnp.where(passing, new_med, cur_med)
+            adv = seg_len + SHADOW_EPS
+            cur_o = jnp.where(
+                passing[..., None], cur_o + wi_w * adv[..., None], cur_o
+            )
+            # done lanes (no hit, or occluded): freeze further segments
+            remaining = jnp.where(
+                passing, jnp.maximum(remaining - adv, 0.0), 0.0
+            )
+        return tr, occ
 
     # medium helpers: static unrolled select over media list ---------------
 
@@ -80,24 +151,80 @@ class VolPathIntegrator(PathIntegrator):
 
         for bounce in range(self.max_depth):
             base = 5 + N_DIMS_PER_BOUNCE * bounce
-            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
-            t_hit = jnp.where(hit["hit"], hit["t"], INF_T)
 
-            # ---- medium interaction sampling ---------------------------
-            if self.media:
-                u_med = sampler.get(pixel_xy, sample_index, base + 7)
-                rng_track = make_track_rng(pixel_xy, sample_index, 2 * bounce)
-                t_med, scattered, med_beta, g_lane = self._medium_sample(
-                    med, o, d, u_med, t_hit, rng_track
+            # ---- segment march: intersect + medium sampling, passing ----
+            # through null-material boundaries (medium switch, no depth
+            # consumed) up to ``passthrough_steps`` times.  For scenes
+            # without null materials this is a single segment.
+            marching = alive
+            o_seg = o
+            med_seg = med
+            scattered = jnp.zeros((n,), dtype=bool)
+            p_med = o
+            hit = None
+            si = None
+            med_fin = med
+            o_fin = o
+            for step in range(self.passthrough_steps):
+                h = c.intersector.intersect(
+                    o_seg, d, jnp.full((n,), INF_T, dtype=dt)
                 )
-                in_medium = med >= 0
-                scattered = scattered & in_medium & alive
-                beta = jnp.where(
-                    (alive & in_medium)[..., None], beta * med_beta, beta
+                t_hit = jnp.where(h["hit"], h["t"], INF_T)
+                if self.media:
+                    rng_track = make_track_rng(
+                        pixel_xy, sample_index,
+                        2048 + bounce * self.passthrough_steps + step,
+                    )
+                    if step == 0:
+                        u_med = sampler.get(pixel_xy, sample_index, base + 7)
+                    else:
+                        u_med = rng_track(jnp.uint32(100003))
+                    t_med_s, scat_s, med_beta, _g = self._medium_sample(
+                        med_seg, o_seg, d, u_med, t_hit, rng_track
+                    )
+                    in_medium = med_seg >= 0
+                    scat_s = scat_s & in_medium & marching
+                    beta = jnp.where(
+                        (marching & in_medium)[..., None], beta * med_beta, beta
+                    )
+                else:
+                    scat_s = jnp.zeros((n,), dtype=bool)
+                    t_med_s = t_hit
+                si_s = compute_interaction(c.tables, h, o_seg, d)
+                opaque = self._opaque_mask(h["hit"], si_s["mat"])
+                # a lane settles when it scatters, hits a real surface, or
+                # escapes; pass-through budget exhaustion settles on the
+                # null hit (conservatively killed by the NONE material).
+                last = step == self.passthrough_steps - 1
+                settle = marching & (scat_s | opaque | ~h["hit"] | last)
+                if hit is None:
+                    hit, si, o_fin, med_fin = h, si_s, o_seg, med_seg
+                else:
+                    sel = lambda a, b: jnp.where(
+                        settle.reshape(settle.shape + (1,) * (a.ndim - 1)), a, b
+                    )
+                    hit = {k: sel(h[k], hit[k]) for k in hit}
+                    si = {k: sel(si_s[k], si[k]) for k in si}
+                    o_fin = sel(o_seg, o_fin)
+                    med_fin = sel(med_seg, med_fin)
+                scattered = scattered | scat_s
+                p_med = jnp.where(
+                    scat_s[..., None], o_seg + d * t_med_s[..., None], p_med
                 )
-            else:
-                scattered = jnp.zeros((n,), dtype=bool)
-                t_med = t_hit
+                if last:
+                    break
+                passing = marching & h["hit"] & ~opaque & ~scat_s
+                entering = jnp.sum(d * si_s["ng"], axis=-1) < 0.0
+                new_med = jnp.where(entering, si_s["med_in"], si_s["med_out"])
+                med_seg = jnp.where(passing, new_med, med_seg)
+                o_seg = jnp.where(
+                    passing[..., None],
+                    o_seg + d * (t_hit + SHADOW_EPS)[..., None],
+                    o_seg,
+                )
+                marching = passing
+            med = med_fin
+            o = o_fin
 
             # ---- escaped rays ------------------------------------------
             esc = alive & ~hit["hit"] & ~scattered
@@ -108,7 +235,6 @@ class VolPathIntegrator(PathIntegrator):
             )
             L = L + jnp.where(esc[..., None], beta * env_le * w_env[..., None], 0.0)
 
-            si = compute_interaction(c.tables, hit, o, d)
             wo = si["wo"]
 
             # ---- emission at surface hits (not medium-scattered lanes) --
@@ -125,8 +251,7 @@ class VolPathIntegrator(PathIntegrator):
             if bounce == self.max_depth - 1:
                 break
 
-            # ---- positions for this vertex ------------------------------
-            p_med = o + d * t_med[..., None]
+            # ---- positions for this vertex (p_med set during the march) --
             p_vertex = jnp.where(scattered[..., None], p_med, si["p"])
 
             # ---- NEE (both surface and medium vertices) ------------------
@@ -162,10 +287,8 @@ class VolPathIntegrator(PathIntegrator):
                     + si["ng"] * SHADOW_EPS
                     * jnp.sign(jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)),
                 )
-                occ = c.intersector.occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS)
-                rng_shadow = make_track_rng(pixel_xy, sample_index, 2 * bounce + 1)
-                tr = self._medium_transmittance(
-                    med, shadow_o, wi_w, jnp.minimum(l_dist, 1e6), rng_shadow
+                tr, occ = self._shadow_tr(
+                    med, shadow_o, wi_w, l_dist, pixel_xy, sample_index, bounce
                 )
                 vis = can & ~occ
                 w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))

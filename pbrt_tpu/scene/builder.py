@@ -16,6 +16,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from pbrt_tpu import float_t
@@ -398,6 +399,68 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
 # ---------------------------------------------------------------------------
 
 
+# Tables at or below this row count are read with an exact one-hot
+# reduction on the MXU instead of per-lane gathers — XLA lowers gathers
+# from small tables to serialized dynamic-slices on TPU, which measured
+# ~20ms per bounce on a 262k-lane wavefront vs <2ms for the matmul form.
+ONE_HOT_MAX_ROWS = 1024
+
+
+def select_rows(cols, idx):
+    """Row-select ``cols[idx]`` ([T, C], [N] -> [N, C]), TPU-friendly.
+
+    Small tables use one-hot x matmul (HIGHEST precision — f32-accurate);
+    large tables fall back to a real gather (the BVH regime, where prim
+    ids are already sorted/coherent).
+    """
+    t = cols.shape[0]
+    if t <= ONE_HOT_MAX_ROWS and cols.dtype == jnp.float32:
+        oh = (
+            idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]
+        ).astype(cols.dtype)
+        return jax.lax.dot(oh, cols, precision=jax.lax.Precision.HIGHEST)
+    return cols[idx]
+
+
+def _tri_cols(tr):
+    """Pack the triangle attribute table into one [T, C] f32 matrix.
+
+    Column layout: p0 p1 p2 (9) n0 n1 n2 (9) uv0 uv1 uv2 (6)
+    mat light med_in med_out (4) [tan0 tan1 tan2 (9)].
+    Ints are exact in f32 below 2^24.  The concat folds at compile time
+    (tables are jit constants).
+    """
+    parts = [
+        tr["p0"], tr["p1"], tr["p2"],
+        tr["n0"], tr["n1"], tr["n2"],
+        tr["uv0"], tr["uv1"], tr["uv2"],
+        tr["mat"][:, None].astype(jnp.float32),
+        tr["light"][:, None].astype(jnp.float32),
+        tr["med_in"][:, None].astype(jnp.float32),
+        tr["med_out"][:, None].astype(jnp.float32),
+    ]
+    if "tan0" in tr:
+        parts += [tr["tan0"], tr["tan1"], tr["tan2"]]
+    ft = tr["p0"].dtype
+    return jnp.concatenate([p.astype(ft) for p in parts], axis=1)
+
+
+def _sph_cols(sp):
+    """Pack the sphere table: w2o rows (12) radius z_min z_max phi_max
+    reverse mat (6) -> [S, 18]."""
+    ft = sp["radius"].dtype
+    parts = [
+        sp["w2o"][:, :3, :4].reshape(sp["w2o"].shape[0], 12),
+        sp["radius"][:, None],
+        sp["z_min"][:, None],
+        sp["z_max"][:, None],
+        sp["phi_max"][:, None],
+        sp["reverse"][:, None],
+        sp["mat"][:, None],
+    ]
+    return jnp.concatenate([p.astype(ft) for p in parts], axis=1)
+
+
 def compute_interaction(tables, hit, o, d):
     """Hit record -> SoA surface interaction dict.
 
@@ -423,36 +486,36 @@ def compute_interaction(tables, hit, o, d):
         b0 = hit["b0"]
         b1 = hit["b1"]
         b2 = 1.0 - b0 - b1
-        p0 = tr["p0"][idx]
-        p1 = tr["p1"][idx]
-        p2 = tr["p2"][idx]
+        rows = select_rows(_tri_cols(tr), idx).astype(dt)
+        p0, p1, p2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        n0, n1, n2 = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
+        uv0, uv1, uv2 = rows[:, 18:20], rows[:, 20:22], rows[:, 22:24]
+        mat_t = jnp.round(rows[:, 24]).astype(jnp.int32)
+        light_t = jnp.round(rows[:, 25]).astype(jnp.int32)
+        med_in_t = jnp.round(rows[:, 26]).astype(jnp.int32)
+        med_out_t = jnp.round(rows[:, 27]).astype(jnp.int32)
         ng_t = jnp.cross(p1 - p0, p2 - p0)
         ng_t = ng_t / jnp.maximum(jnp.linalg.norm(ng_t, axis=-1, keepdims=True), 1e-12)
-        ns_t = b2[..., None] * tr["n0"][idx] + b0[..., None] * tr["n1"][idx] + b1[..., None] * tr["n2"][idx]
+        ns_t = b2[..., None] * n0 + b0[..., None] * n1 + b1[..., None] * n2
         ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
         ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)
         # orient geometric normal to agree with shading normal
         ng_t = jnp.where(jnp.sum(ng_t * ns_t, axis=-1, keepdims=True) < 0, -ng_t, ng_t)
-        uv_t = (
-            b2[..., None] * tr["uv0"][idx]
-            + b0[..., None] * tr["uv1"][idx]
-            + b1[..., None] * tr["uv2"][idx]
-        )
+        uv_t = b2[..., None] * uv0 + b0[..., None] * uv1 + b1[..., None] * uv2
         m = is_tri[..., None]
         ng = jnp.where(m, ng_t, ng)
         ns = jnp.where(m, ns_t, ns)
         uv = jnp.where(m, uv_t, uv)
-        mat = jnp.where(is_tri, tr["mat"][idx], mat)
-        light = jnp.where(is_tri, tr["light"][idx], light)
-        if "med_in" in tr:
-            med_in = jnp.where(is_tri, tr["med_in"][idx], med_in)
-            med_out = jnp.where(is_tri, tr["med_out"][idx], med_out)
+        mat = jnp.where(is_tri, mat_t, mat)
+        light = jnp.where(is_tri, light_t, light)
+        med_in = jnp.where(is_tri, med_in_t, med_in)
+        med_out = jnp.where(is_tri, med_out_t, med_out)
         if "tan0" in tr:
             # curve tangent (hair shading); zero on non-curve triangles
             tang_t = (
-                b2[..., None] * tr["tan0"][idx]
-                + b0[..., None] * tr["tan1"][idx]
-                + b1[..., None] * tr["tan2"][idx]
+                b2[..., None] * rows[:, 28:31]
+                + b0[..., None] * rows[:, 31:34]
+                + b1[..., None] * rows[:, 34:37]
             )
             tang = jnp.where(m, tang_t, jnp.zeros((n, 3), dtype=dt))
 
@@ -460,24 +523,24 @@ def compute_interaction(tables, hit, o, d):
         sp = tables["sph"]
         idx = jnp.clip(hit["prim"], 0, sp["radius"].shape[0] - 1)
         is_sph = hit["hit"] & (hit["kind"] == KIND_SPHERE)
-        w2o = sp["w2o"][idx]
-        o2w = sp["o2w"][idx]
+        srows = select_rows(_sph_cols(sp), idx).astype(dt)
+        m3 = srows[:, 0:12].reshape(-1, 3, 4)
         p_obj = (
-            jnp.einsum("nij,nj->ni", w2o[:, :3, :3], p) + w2o[:, :3, 3]
+            jnp.einsum("nij,nj->ni", m3[:, :, :3], p) + m3[:, :, 3]
         )
         n_obj = p_obj / jnp.maximum(
             jnp.linalg.norm(p_obj, axis=-1, keepdims=True), 1e-12
         )
         # normal transform: (w2o)^T applied to object normal
-        n_w = jnp.einsum("nji,nj->ni", w2o[:, :3, :3], n_obj)
+        n_w = jnp.einsum("nji,nj->ni", m3[:, :, :3], n_obj)
         n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
-        n_w = jnp.where(sp["reverse"][idx][..., None], -n_w, n_w)
+        n_w = jnp.where(srows[:, 16:17] != 0.0, -n_w, n_w)
         phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
         phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
-        r = sp["radius"][idx]
-        u_s = phi / sp["phi_max"][idx]
-        zmin = sp["z_min"][idx]
-        zmax = sp["z_max"][idx]
+        r = srows[:, 12]
+        u_s = phi / srows[:, 15]
+        zmin = srows[:, 13]
+        zmax = srows[:, 14]
         theta = jnp.arccos(jnp.clip(p_obj[..., 2] / jnp.maximum(r, 1e-12), -1, 1))
         theta_min = jnp.arccos(jnp.clip(zmax / jnp.maximum(r, 1e-12), -1, 1))
         theta_max = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1, 1))
@@ -486,7 +549,7 @@ def compute_interaction(tables, hit, o, d):
         ng = jnp.where(m, n_w, ng)
         ns = jnp.where(m, n_w, ns)
         uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
-        mat = jnp.where(is_sph, sp["mat"][idx], mat)
+        mat = jnp.where(is_sph, jnp.round(srows[:, 17]).astype(jnp.int32), mat)
 
     out = {
         "p": p,

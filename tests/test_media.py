@@ -224,3 +224,48 @@ WorldEnd
     med_out = np.asarray(c.tables["tri"]["med_out"])
     assert (med_out == -1).all()
     assert isinstance(make_integrator(c), VolPathIntegrator)
+
+
+# -- shaped volumes: null-material boundaries (pbrt smoke-in-a-box) ----------
+
+FOG_BOX_SCENE = """
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [{sa} {sa} {sa}] "rgb sigma_s" [0 0 0]
+LookAt 0 0 5  0 0 0  0 1 0
+Camera "orthographic" "float screenwindow" [-0.1 0.1 -0.1 0.1]
+Sampler "halton" "integer pixelsamples" 64
+Integrator "volpath" "integer maxdepth" 2
+Film "image" "integer xresolution" [5] "integer yresolution" [5]
+WorldBegin
+LightSource "point" "rgb I" [10 10 10] "point from" [0 0 3]
+AttributeBegin
+Material ""
+MediumInterface "fog" ""
+Shape "trianglemesh"
+    "integer indices" [0 3 2  0 2 1  4 5 6  4 6 7  1 2 6  1 6 5
+                       0 4 7  0 7 3  0 1 5  0 5 4  3 7 6  3 6 2]
+    "point P" [ -1 -1 1   1 -1 1   1 1 1   -1 1 1
+                -1 -1 2   1 -1 2   1 1 2   -1 1 2 ]
+AttributeEnd
+Material "matte" "rgb Kd" [0.6 0.6 0.6]
+Shape "trianglemesh"
+    "integer indices" [0 1 2 0 2 3]
+    "point P" [ -50 -50 0   50 -50 0   50 50 0   -50 50 0 ]
+WorldEnd
+"""
+
+
+def test_null_material_fog_box():
+    """Fog bounded by a null-material cube (z in [1,2]): the camera ray
+    passes through two boundaries (chord 1 of fog), the shadow ray through
+    two more.  Expected attenuation exp(-sa*1)^2 vs the clear render, and
+    the clear center equals the analytic direct value (Kd/pi * I/d^2)."""
+    clear = render(FOG_BOX_SCENE.format(sa=1e-6))
+    foggy = render(FOG_BOX_SCENE.format(sa=0.5))
+    np.testing.assert_allclose(
+        clear[2, 2], [0.6 / np.pi * 10 / 9] * 3, rtol=0.02
+    )
+    # absorption on the camera leg is resolved by stochastic kill; average
+    # the 3x3 center (all rays share the same chord) for 576 samples
+    ratio = foggy[1:4, 1:4, 0].mean() / clear[1:4, 1:4, 0].mean()
+    np.testing.assert_allclose(ratio, np.exp(-0.5 * 2.0), rtol=0.08)

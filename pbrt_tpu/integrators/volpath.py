@@ -84,6 +84,18 @@ class VolPathIntegrator(PathIntegrator):
             jnp.minimum(l_dist, 1e6) - 2 * SHADOW_EPS, 0.0
         )
         segs = self.shadow_segments
+        if segs == 1:
+            # no null-material boundaries in the scene: cheap any-hit
+            # occlusion + one full-length transmittance (the pre-march
+            # fast path; the closest-hit march below is only needed when
+            # shadow rays can legally cross shaped-volume interfaces)
+            occ = c.intersector.occluded(cur_o, wi_w, remaining)
+            if self.media:
+                rng_seg = make_track_rng(pixel_xy, sample_index, 1024 + bounce)
+                tr = self._medium_transmittance(
+                    cur_med, cur_o, wi_w, remaining, rng_seg
+                )
+            return tr, occ
         for seg in range(segs):
             rng_seg = make_track_rng(
                 pixel_xy, sample_index, 1024 + bounce * segs + seg
@@ -101,7 +113,7 @@ class VolPathIntegrator(PathIntegrator):
             opaque = self._opaque_mask(h["hit"], si["mat"])
             occ = occ | opaque
             passing = h["hit"] & ~opaque
-            entering = jnp.sum(wi_w * si["ng"], axis=-1) < 0.0
+            entering = jnp.sum(wi_w * si["ng_raw"], axis=-1) < 0.0
             new_med = jnp.where(entering, si["med_in"], si["med_out"])
             cur_med = jnp.where(passing, new_med, cur_med)
             adv = seg_len + SHADOW_EPS
@@ -214,7 +226,25 @@ class VolPathIntegrator(PathIntegrator):
                 if last:
                     break
                 passing = marching & h["hit"] & ~opaque & ~scat_s
-                entering = jnp.sum(d * si_s["ng"], axis=-1) < 0.0
+                if c.area_lights:
+                    # area lights on null-material surfaces (pbrt adds
+                    # isect.Le(-ray.d) before the null-BSDF skip): passing
+                    # lanes never settle on this hit, so account its
+                    # emission here with the same MIS weight the settled
+                    # path would use
+                    le_pass = self._emitted(si_s, -d, theta)
+                    al_pdf_pass = self._area_light_pdf(prev_p, si_s, d)
+                    w_le_pass = jnp.where(
+                        specular_bounce,
+                        1.0,
+                        power_heuristic(1, prev_bsdf_pdf, 1, al_pdf_pass),
+                    )
+                    L = L + jnp.where(
+                        (passing & (si_s["light"] >= 0))[..., None],
+                        beta * le_pass * w_le_pass[..., None],
+                        0.0,
+                    )
+                entering = jnp.sum(d * si_s["ng_raw"], axis=-1) < 0.0
                 new_med = jnp.where(entering, si_s["med_in"], si_s["med_out"])
                 med_seg = jnp.where(passing, new_med, med_seg)
                 o_seg = jnp.where(
@@ -314,7 +344,7 @@ class VolPathIntegrator(PathIntegrator):
 
             # ---- medium switching at surface crossings ------------------
             crossing = ~scattered & alive
-            entering = jnp.sum(wi_w * si["ng"], axis=-1) < 0.0
+            entering = jnp.sum(wi_w * si["ng_raw"], axis=-1) < 0.0
             new_med = jnp.where(entering, si.get("med_in", med), si.get("med_out", med))
             if "med_in" in si:
                 med = jnp.where(crossing, new_med, med)

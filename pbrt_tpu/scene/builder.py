@@ -243,8 +243,10 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         m_idx = mat_index(rec.material)
         has_area = bool(rec.area_light_name)
         is_sss = rec.material.name in ("subsurface", "kdsubsurface")
-        if isinstance(shape, SphereData) and (has_area or is_sss):
-            # medium interfaces live on the triangle tables
+        has_medium = bool(rec.inside_medium) or bool(rec.outside_medium)
+        if isinstance(shape, SphereData) and (has_area or is_sss or has_medium):
+            # medium interfaces (and area sampling) live on the triangle
+            # tables, so spheres that need either become meshes
             shape = _tessellate_emitting_sphere(shape)
         if isinstance(shape, TriangleData):
             light_idx = -1
@@ -327,6 +329,18 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         mins, maxs = -np.ones(3), np.ones(3)
 
     # --- device tables -----------------------------------------------------
+    # select_rows' one-hot-matmul read path multiplies EVERY row into every
+    # lane (0 * NaN = NaN), so a single non-finite table entry would poison
+    # whole wavefronts; reject it at build time where it's attributable.
+    def _check_finite(name, arr):
+        if np.issubdtype(np.asarray(arr).dtype, np.floating) and not np.isfinite(
+            arr
+        ).all():
+            raise ValueError(
+                f"Non-finite values in scene table '{name}' "
+                "(bad mesh/transform input?)"
+            )
+
     tables: Dict[str, object] = {}
     if tri_data is not None:
         tables["tri"] = {
@@ -348,6 +362,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             tables["tri"]["tan0"] = jnp.asarray(tri_data.tan0)
             tables["tri"]["tan1"] = jnp.asarray(tri_data.tan1)
             tables["tri"]["tan2"] = jnp.asarray(tri_data.tan2)
+        for k in ("p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2"):
+            _check_finite(f"tri.{k}", getattr(tri_data, k))
     if sph_data is not None:
         tables["sph"] = {
             "o2w": jnp.asarray(sph_data.o2w.astype(float_t)),
@@ -359,6 +375,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             "reverse": jnp.asarray(sph_data.reverse_orientation),
             "mat": jnp.asarray(np.asarray(sph_mat, dtype=np.int32)),
         }
+        for k in ("o2w", "w2o", "radius", "z_min", "z_max"):
+            _check_finite(f"sph.{k}", getattr(sph_data, k))
 
     min_prims = desc.accelerator_params.find_one_int("minprims", 512)
     use_bvh = (
@@ -473,6 +491,10 @@ def compute_interaction(tables, hit, o, d):
     p = o + d * t[..., None]
     ng = jnp.zeros((n, 3), dtype=dt).at[:, 2].set(1.0)
     ns = ng
+    # winding-order geometric normal, NOT flipped to agree with authored
+    # shading normals — medium-transition (inside/outside) tests must use
+    # this one, or inward-pointing shading normals invert med_in/med_out
+    ng_raw = ng
     uv = jnp.zeros((n, 2), dtype=dt)
     mat = jnp.full((n,), -1, dtype=jnp.int32)
     light = jnp.full((n,), -1, dtype=jnp.int32)
@@ -496,6 +518,7 @@ def compute_interaction(tables, hit, o, d):
         med_out_t = jnp.round(rows[:, 27]).astype(jnp.int32)
         ng_t = jnp.cross(p1 - p0, p2 - p0)
         ng_t = ng_t / jnp.maximum(jnp.linalg.norm(ng_t, axis=-1, keepdims=True), 1e-12)
+        ng_raw_t = ng_t
         ns_t = b2[..., None] * n0 + b0[..., None] * n1 + b1[..., None] * n2
         ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
         ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)
@@ -504,6 +527,7 @@ def compute_interaction(tables, hit, o, d):
         uv_t = b2[..., None] * uv0 + b0[..., None] * uv1 + b1[..., None] * uv2
         m = is_tri[..., None]
         ng = jnp.where(m, ng_t, ng)
+        ng_raw = jnp.where(m, ng_raw_t, ng_raw)
         ns = jnp.where(m, ns_t, ns)
         uv = jnp.where(m, uv_t, uv)
         mat = jnp.where(is_tri, mat_t, mat)
@@ -547,6 +571,7 @@ def compute_interaction(tables, hit, o, d):
         v_s = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-9)
         m = is_sph[..., None]
         ng = jnp.where(m, n_w, ng)
+        ng_raw = jnp.where(m, n_w, ng_raw)
         ns = jnp.where(m, n_w, ns)
         uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
         mat = jnp.where(is_sph, jnp.round(srows[:, 17]).astype(jnp.int32), mat)
@@ -554,6 +579,7 @@ def compute_interaction(tables, hit, o, d):
     out = {
         "p": p,
         "ng": ng,
+        "ng_raw": ng_raw,
         "ns": ns,
         "uv": uv,
         "mat": mat,

@@ -17,6 +17,43 @@ from pbrt_tpu import INV_2PI, INV_4PI, PI, PI_OVER_2, PI_OVER_4, float_t
 
 
 # ---------------------------------------------------------------------------
+# Fast trig for warps
+# ---------------------------------------------------------------------------
+
+# Cephes sinf/cosf quarter-wave kernels (|r| <= pi/4, abs err ~1e-7)
+_S3, _S5, _S7 = -1.6666654611e-1, 8.3321608736e-3, -1.9515295891e-4
+_C4, _C6, _C8 = 4.166664568298827e-2, -1.388731625493765e-3, 2.443315711809948e-5
+
+
+def fast_sincos(t):
+    """(sin t, cos t) for |t| <= ~pi via quadrant folding + quarter-wave
+    polynomials.
+
+    ``jnp.sin``/``jnp.cos`` lower to full-range libm expansions that
+    measured ~0.5 ms per call on a 262k-lane wavefront (v5e) — ~2000
+    VPU-op equivalents; Monte-Carlo warps only need f32 distribution
+    accuracy, so the ~15-op kernel is the right tool on the hot path."""
+    q = jnp.round(t * (2.0 / PI))
+    r = t - q * (PI / 2)
+    z = r * r
+    sin_r = r * (1.0 + z * (_S3 + z * (_S5 + z * _S7)))
+    cos_r = 1.0 + z * (-0.5 + z * (_C4 + z * (_C6 + z * _C8)))
+    qi = q.astype(jnp.int32) & 3  # two's-complement & maps -1 -> 3, -2 -> 2
+    swap = (qi & 1) == 1
+    s = jnp.where(swap, cos_r, sin_r)
+    c = jnp.where(swap, sin_r, cos_r)
+    s = jnp.where((qi == 2) | (qi == 3), -s, s)
+    c = jnp.where((qi == 1) | (qi == 2), -c, c)
+    return s, c
+
+
+def sincos_2pi(u):
+    """(sin 2*pi*u, cos 2*pi*u) for u in [0, 1) (periodic fold to [-pi, pi])."""
+    t = (u - jnp.round(u)) * (2.0 * PI)
+    return fast_sincos(t)
+
+
+# ---------------------------------------------------------------------------
 # Warps (batched; u is [..., 2] or [...])
 # ---------------------------------------------------------------------------
 
@@ -24,8 +61,8 @@ from pbrt_tpu import INV_2PI, INV_4PI, PI, PI_OVER_2, PI_OVER_4, float_t
 def uniform_sample_hemisphere(u):
     z = u[..., 0]
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2 * PI * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    s, c = sincos_2pi(u[..., 1])
+    return jnp.stack([r * c, r * s, z], axis=-1)
 
 
 def uniform_hemisphere_pdf():
@@ -35,8 +72,8 @@ def uniform_hemisphere_pdf():
 def uniform_sample_sphere(u):
     z = 1.0 - 2.0 * u[..., 0]
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    phi = 2 * PI * u[..., 1]
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    s, c = sincos_2pi(u[..., 1])
+    return jnp.stack([r * c, r * s, z], axis=-1)
 
 
 def uniform_sphere_pdf():
@@ -55,8 +92,9 @@ def concentric_sample_disk(u):
         PI_OVER_4 * (oy / jnp.where(ox == 0.0, 1.0, ox)),
         PI_OVER_2 - PI_OVER_4 * (ox / jnp.where(oy == 0.0, 1.0, oy)),
     )
-    x = r * jnp.cos(theta)
-    y = r * jnp.sin(theta)
+    sth, cth = fast_sincos(theta)  # theta in [-pi/4, 3pi/4]
+    x = r * cth
+    y = r * sth
     return jnp.where(zero[..., None], 0.0, jnp.stack([x, y], axis=-1))
 
 
@@ -73,10 +111,8 @@ def cosine_hemisphere_pdf(cos_theta):
 def uniform_sample_cone(u, cos_theta_max):
     cos_theta = (1.0 - u[..., 0]) + u[..., 0] * cos_theta_max
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    phi = u[..., 1] * 2 * PI
-    return jnp.stack(
-        [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta], axis=-1
-    )
+    s, c = sincos_2pi(u[..., 1])
+    return jnp.stack([c * sin_theta, s * sin_theta, cos_theta], axis=-1)
 
 
 def uniform_cone_pdf(cos_theta_max):

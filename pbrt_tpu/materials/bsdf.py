@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pbrt_tpu import INV_PI, PI
-from pbrt_tpu.core.sampling import cosine_sample_hemisphere
+from pbrt_tpu.core.sampling import cosine_sample_hemisphere, sincos_2pi
 
 # Material type ids (table order matters: keep in sync with materials/__init__)
 MATTE = 0
@@ -141,8 +141,8 @@ def ggx_sample_wh(u, alpha):
     c2 = (1.0 - u[..., 0]) / jnp.maximum(1.0 + (alpha * alpha - 1.0) * u[..., 0], 1e-12)
     cos_t = jnp.sqrt(jnp.maximum(c2, 0.0))
     sin_t = jnp.sqrt(jnp.maximum(1.0 - c2, 0.0))
-    phi = 2.0 * PI * u[..., 1]
-    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+    sp, cp = sincos_2pi(u[..., 1])
+    return jnp.stack([sin_t * cp, sin_t * sp, cos_t], axis=-1)
 
 
 def ggx_pdf_wh(wh, alpha):

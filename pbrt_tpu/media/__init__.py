@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pbrt_tpu.core.sampling import sincos_2pi
 from pbrt_tpu import INV_4PI, PI, float_t
 
 log = logging.getLogger("pbrt_tpu")
@@ -265,14 +266,14 @@ def hg_sample(wo, u2, g):
     cos_theta = jnp.where(small, 1.0 - 2.0 * u2[..., 0], cos_theta_hg)
     cos_theta = jnp.clip(cos_theta, -1.0, 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
-    phi = 2.0 * PI * u2[..., 1]
+    sphi, cphi = sincos_2pi(u2[..., 1])
     # frame around the forward direction (-wo is propagation dir; pbrt
     # parameterizes around wo with its sign convention — use -wo forward)
     fwd = -wo
     v1, v2 = coordinate_system(fwd)
     wi = (
-        sin_theta[..., None] * jnp.cos(phi)[..., None] * v1
-        + sin_theta[..., None] * jnp.sin(phi)[..., None] * v2
+        sin_theta[..., None] * cphi[..., None] * v1
+        + sin_theta[..., None] * sphi[..., None] * v2
         + cos_theta[..., None] * fwd
     )
     pdf = hg_phase(cos_theta, g)

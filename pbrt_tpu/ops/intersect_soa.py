@@ -174,6 +174,43 @@ class SoABruteForceIntersector:
         (bt, bp, _), _ = jax.lax.scan(body, init, self.sph_cols)
         return bt, bp
 
+    def _tri_sweep_unrolled_anyhit(self, o, d, tmax):
+        """Shadow-ray sweep: no best-hit bookkeeping (prim/b0/b1/t selects
+        drop out), just a running occlusion mask — ~30% fewer VPU ops per
+        triangle than the closest-hit sweep."""
+        ox, oy, oz = _split3(o)
+        dx, dy, dz = _split3(d)
+        n = o.shape[0]
+        hit = jnp.zeros((n,), bool)
+        p0s, p1s, p2s = self.tri_host
+        for k in range(self.n_tri):
+            p0 = p0s[k]
+            e1 = p1s[k] - p0
+            e2 = p2s[k] - p0
+            pvx = dy * e2[2] - dz * e2[1]
+            pvy = dz * e2[0] - dx * e2[2]
+            pvz = dx * e2[1] - dy * e2[0]
+            det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+            )
+            tvx, tvy, tvz = ox - p0[0], oy - p0[1], oz - p0[2]
+            b0 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1[2] - tvz * e1[1]
+            qvy = tvz * e1[0] - tvx * e1[2]
+            qvz = tvx * e1[1] - tvy * e1[0]
+            b1 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+            hit = hit | (
+                (jnp.abs(det) > 1e-12)
+                & (b0 >= 0.0)
+                & (b1 >= 0.0)
+                & (b0 + b1 <= 1.0)
+                & (tt > RAY_EPS)
+                & (tt < tmax)
+            )
+        return hit
+
     def _tri_sweep_unrolled(self, o, d, best):
         """Python-unrolled sweep: triangle coords are trace constants, the
         whole loop fuses into one kernel."""
@@ -217,35 +254,55 @@ class SoABruteForceIntersector:
             b1a = jnp.where(ok, b1, b1a)
         return bt, bp, b0a, b1a
 
-    def _sph_sweep_unrolled(self, o, d, best):
+    def _sph_candidates_unrolled(self, k, o, d):
+        """Per-sphere candidate hits (t_near, t_far, clip masks) with the
+        structure of the k-th sphere specialized at trace time:
+
+        - translate-only transforms skip the 3x3 rotation entirely (the
+          dominant case: ``Translate`` + ``Shape "sphere"``), and the
+          direction is untouched so ``a = dot(d, d)`` is sphere-independent;
+        - full spheres (phi_max = 2pi, z range covering the whole sphere)
+          skip the arctan2/z clip tests, the most expensive ops in the sweep.
+        """
         ox, oy, oz = _split3(o)
         dx, dy, dz = _split3(d)
-        n = o.shape[0]
-        bt = best
-        bp = jnp.full((n,), -1, jnp.int32)
         w2os, radii, zmins, zmaxs, phimaxs = self.sph_host
-        for k in range(self.n_sph):
-            m = w2os[k]
-            radius = float(radii[k])
-            zmin, zmax, phimax = float(zmins[k]), float(zmaxs[k]), float(phimaxs[k])
+        m = w2os[k]
+        radius = float(radii[k])
+        zmin, zmax, phimax = float(zmins[k]), float(zmaxs[k]), float(phimaxs[k])
+        translate_only = bool(
+            np.allclose(m[:3, :3], np.eye(3), atol=1e-12)
+        )
+        full = (
+            phimax >= 2 * np.pi - 1e-5
+            and zmin <= -radius * (1 - 1e-6)
+            and zmax >= radius * (1 - 1e-6)
+        )
+        if translate_only:
+            oox, ooy, ooz = ox + m[0, 3], oy + m[1, 3], oz + m[2, 3]
+            odx, ody, odz = dx, dy, dz
+        else:
             oox = m[0, 0] * ox + m[0, 1] * oy + m[0, 2] * oz + m[0, 3]
             ooy = m[1, 0] * ox + m[1, 1] * oy + m[1, 2] * oz + m[1, 3]
             ooz = m[2, 0] * ox + m[2, 1] * oy + m[2, 2] * oz + m[2, 3]
             odx = m[0, 0] * dx + m[0, 1] * dy + m[0, 2] * dz
             ody = m[1, 0] * dx + m[1, 1] * dy + m[1, 2] * dz
             odz = m[2, 0] * dx + m[2, 1] * dy + m[2, 2] * dz
-            a = odx * odx + ody * ody + odz * odz
-            b = 2.0 * (oox * odx + ooy * ody + ooz * odz)
-            c = oox * oox + ooy * ooy + ooz * ooz - radius * radius
-            disc = b * b - 4 * a * c
-            has = disc >= 0.0
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
-            t0 = q / jnp.where(a == 0, 1.0, a)
-            t1 = c / jnp.where(q == 0, 1.0, q)
-            t_near = jnp.minimum(t0, t1)
-            t_far = jnp.maximum(t0, t1)
+        a = odx * odx + ody * ody + odz * odz
+        b = 2.0 * (oox * odx + ooy * ody + ooz * odz)
+        c = oox * oox + ooy * ooy + ooz * ooz - radius * radius
+        disc = b * b - 4 * a * c
+        has = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(b < 0, -0.5 * (b - sq), -0.5 * (b + sq))
+        t0 = q / jnp.where(a == 0, 1.0, a)
+        t1 = c / jnp.where(q == 0, 1.0, q)
+        t_near = jnp.minimum(t0, t1)
+        t_far = jnp.maximum(t0, t1)
 
+        if full:
+            clip_near = clip_far = True
+        else:
             def clip_ok(t):
                 pz = ooz + odz * t
                 z_ok = (pz >= zmin - 1e-6) & (pz <= zmax + 1e-6)
@@ -255,13 +312,36 @@ class SoABruteForceIntersector:
                 phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
                 return z_ok & (phi <= phimax + 1e-6)
 
-            near_ok = has & (t_near > RAY_EPS) & (t_near < bt) & clip_ok(t_near)
-            far_ok = has & (t_far > RAY_EPS) & (t_far < bt) & clip_ok(t_far)
+            clip_near = clip_ok(t_near)
+            clip_far = clip_ok(t_far)
+        return has, t_near, t_far, clip_near, clip_far
+
+    def _sph_sweep_unrolled(self, o, d, best):
+        n = o.shape[0]
+        bt = best
+        bp = jnp.full((n,), -1, jnp.int32)
+        for k in range(self.n_sph):
+            has, t_near, t_far, clip_near, clip_far = (
+                self._sph_candidates_unrolled(k, o, d)
+            )
+            near_ok = has & (t_near > RAY_EPS) & (t_near < bt) & clip_near
+            far_ok = has & (t_far > RAY_EPS) & (t_far < bt) & clip_far
             tt = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, jnp.inf))
             ok = tt < bt
             bt = jnp.where(ok, tt, bt)
             bp = jnp.where(ok, k, bp)
         return bt, bp
+
+    def _sph_sweep_unrolled_anyhit(self, o, d, tmax):
+        hit = jnp.zeros((o.shape[0],), bool)
+        for k in range(self.n_sph):
+            has, t_near, t_far, clip_near, clip_far = (
+                self._sph_candidates_unrolled(k, o, d)
+            )
+            near_ok = (t_near > RAY_EPS) & (t_near < tmax) & clip_near
+            far_ok = (t_far > RAY_EPS) & (t_far < tmax) & clip_far
+            hit = hit | (has & (near_ok | far_ok))
+        return hit
 
     def intersect(self, o, d, t_max):
         n = o.shape[0]
@@ -317,4 +397,13 @@ class SoABruteForceIntersector:
         }
 
     def occluded(self, o, d, t_max):
+        if self.unroll:
+            n = o.shape[0]
+            tmax = jnp.broadcast_to(t_max, (n,)).astype(o.dtype)
+            hit = jnp.zeros((n,), bool)
+            if self.n_tri:
+                hit = hit | self._tri_sweep_unrolled_anyhit(o, d, tmax)
+            if self.n_sph:
+                hit = hit | self._sph_sweep_unrolled_anyhit(o, d, tmax)
+            return hit
         return self.intersect(o, d, t_max)["hit"]

@@ -378,6 +378,29 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         for k in ("o2w", "w2o", "radius", "z_min", "z_max"):
             _check_finite(f"sph.{k}", getattr(sph_data, k))
 
+    # --- static interaction flags (prune per-bounce decode work) -----------
+    # uv is consumed only by texture mappings; scenes whose textures are all
+    # constants never read it, so its computation (incl. the sphere
+    # arctan2/arccos parameterization) is statically dropped.
+    from pbrt_tpu.textures.constant import ConstantTexture
+
+    uv_needed = any(
+        not isinstance(tex, ConstantTexture)
+        for e in materials
+        for tex in list(e.textures.values())
+        + ([t for pair in (e.mix_children or []) for t in pair.textures.values()])
+    ) or any(e.mix_children is not None for e in materials)
+    tri_flat = False
+    if tri_data is not None:
+        fn = np.cross(tri_data.p1 - tri_data.p0, tri_data.p2 - tri_data.p0)
+        nn = np.linalg.norm(fn, axis=-1, keepdims=True)
+        fn = fn / np.where(nn == 0, 1.0, nn)
+        tri_flat = all(
+            np.allclose(getattr(tri_data, f), fn, atol=1e-5)
+            for f in ("n0", "n1", "n2")
+        )
+    tables["_flags"] = {"uv": bool(uv_needed), "tri_flat": bool(tri_flat)}
+
     min_prims = desc.accelerator_params.find_one_int("minprims", 512)
     use_bvh = (
         desc.accelerator_name in ("bvh", "kdtree")
@@ -417,21 +440,32 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
 # ---------------------------------------------------------------------------
 
 
-# Tables at or below this row count are read with an exact one-hot
-# reduction on the MXU instead of per-lane gathers — XLA lowers gathers
-# from small tables to serialized dynamic-slices on TPU, which measured
-# ~20ms per bounce on a 262k-lane wavefront vs <2ms for the matmul form.
+# Tables at or below WHERE_CHAIN_MAX_ROWS are read with a fused
+# select chain (pure VPU, exact); tables up to ONE_HOT_MAX_ROWS use an
+# exact one-hot reduction on the MXU; larger ones use a real gather.
+# XLA lowers gathers from small tables to serialized dynamic-slices on
+# TPU, which measured ~20ms per bounce on a 262k-lane wavefront vs <2ms
+# for the matmul form; the matmul in turn pads K to 128 and runs 6-pass
+# f32 emulation, so for tiny tables (a Cornell box: 14 rows) the select
+# chain wins again (~2.5x, measured on v5e).
+WHERE_CHAIN_MAX_ROWS = 48
 ONE_HOT_MAX_ROWS = 1024
 
 
 def select_rows(cols, idx):
     """Row-select ``cols[idx]`` ([T, C], [N] -> [N, C]), TPU-friendly.
 
-    Small tables use one-hot x matmul (HIGHEST precision — f32-accurate);
-    large tables fall back to a real gather (the BVH regime, where prim
-    ids are already sorted/coherent).
+    Tiny tables: fused where-chain (exact, no MXU padding waste).
+    Small tables: one-hot x matmul (HIGHEST precision — f32-accurate).
+    Large tables: real gather (the BVH regime, where prim ids are
+    already sorted/coherent).
     """
     t = cols.shape[0]
+    if t <= WHERE_CHAIN_MAX_ROWS:
+        out = jnp.broadcast_to(cols[0][None, :], (idx.shape[0], cols.shape[1]))
+        for k in range(1, t):
+            out = jnp.where((idx == k)[:, None], cols[k][None, :], out)
+        return out
     if t <= ONE_HOT_MAX_ROWS and cols.dtype == jnp.float32:
         oh = (
             idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]
@@ -440,27 +474,37 @@ def select_rows(cols, idx):
     return cols[idx]
 
 
-def _tri_cols(tr):
-    """Pack the triangle attribute table into one [T, C] f32 matrix.
+def _tri_cols(tr, need_normals=True, need_uv=True):
+    """Pack the triangle attribute table into one [T, C] f32 matrix plus a
+    name -> column-slice layout map.
 
-    Column layout: p0 p1 p2 (9) n0 n1 n2 (9) uv0 uv1 uv2 (6)
-    mat light med_in med_out (4) [tan0 tan1 tan2 (9)].
-    Ints are exact in f32 below 2^24.  The concat folds at compile time
-    (tables are jit constants).
+    Base layout: p0 p1 p2 (9) [n0 n1 n2 (9)] [uv0 uv1 uv2 (6)]
+    mat light med_in med_out (4) [tan0 tan1 tan2 (9)].  Normal/uv blocks
+    are omitted when statically unneeded (flat meshes / untextured scenes)
+    — every dropped column removes T selects per lane from the fused
+    row-select chain.  Ints are exact in f32 below 2^24.  The concat folds
+    at compile time (tables are jit constants).
     """
-    parts = [
-        tr["p0"], tr["p1"], tr["p2"],
-        tr["n0"], tr["n1"], tr["n2"],
-        tr["uv0"], tr["uv1"], tr["uv2"],
-        tr["mat"][:, None].astype(jnp.float32),
-        tr["light"][:, None].astype(jnp.float32),
-        tr["med_in"][:, None].astype(jnp.float32),
-        tr["med_out"][:, None].astype(jnp.float32),
-    ]
+    names = ["p0", "p1", "p2"]
+    if need_normals:
+        names += ["n0", "n1", "n2"]
+    if need_uv:
+        names += ["uv0", "uv1", "uv2"]
+    names += ["mat", "light", "med_in", "med_out"]
     if "tan0" in tr:
-        parts += [tr["tan0"], tr["tan1"], tr["tan2"]]
+        names += ["tan0", "tan1", "tan2"]
     ft = tr["p0"].dtype
-    return jnp.concatenate([p.astype(ft) for p in parts], axis=1)
+    parts = []
+    layout = {}
+    at = 0
+    for nm in names:
+        v = tr[nm]
+        if v.ndim == 1:
+            v = v[:, None]
+        parts.append(v.astype(ft))
+        layout[nm] = slice(at, at + v.shape[1])
+        at += v.shape[1]
+    return jnp.concatenate(parts, axis=1), layout
 
 
 def _sph_cols(sp):
@@ -501,6 +545,10 @@ def compute_interaction(tables, hit, o, d):
     med_in = jnp.full((n,), -1, dtype=jnp.int32)
     med_out = jnp.full((n,), -1, dtype=jnp.int32)
 
+    flags = tables.get("_flags", {})
+    uv_needed = bool(flags.get("uv", True))
+    tri_flat = bool(flags.get("tri_flat", False))
+
     if "tri" in tables:
         tr = tables["tri"]
         idx = jnp.clip(hit["prim"], 0, tr["p0"].shape[0] - 1)
@@ -508,28 +556,37 @@ def compute_interaction(tables, hit, o, d):
         b0 = hit["b0"]
         b1 = hit["b1"]
         b2 = 1.0 - b0 - b1
-        rows = select_rows(_tri_cols(tr), idx).astype(dt)
-        p0, p1, p2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
-        n0, n1, n2 = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
-        uv0, uv1, uv2 = rows[:, 18:20], rows[:, 20:22], rows[:, 22:24]
-        mat_t = jnp.round(rows[:, 24]).astype(jnp.int32)
-        light_t = jnp.round(rows[:, 25]).astype(jnp.int32)
-        med_in_t = jnp.round(rows[:, 26]).astype(jnp.int32)
-        med_out_t = jnp.round(rows[:, 27]).astype(jnp.int32)
+        cols, lay = _tri_cols(tr, need_normals=not tri_flat, need_uv=uv_needed)
+        rows = select_rows(cols, idx).astype(dt)
+        p0, p1, p2 = rows[:, lay["p0"]], rows[:, lay["p1"]], rows[:, lay["p2"]]
+        mat_t = jnp.round(rows[:, lay["mat"]][:, 0]).astype(jnp.int32)
+        light_t = jnp.round(rows[:, lay["light"]][:, 0]).astype(jnp.int32)
+        med_in_t = jnp.round(rows[:, lay["med_in"]][:, 0]).astype(jnp.int32)
+        med_out_t = jnp.round(rows[:, lay["med_out"]][:, 0]).astype(jnp.int32)
         ng_t = jnp.cross(p1 - p0, p2 - p0)
         ng_t = ng_t / jnp.maximum(jnp.linalg.norm(ng_t, axis=-1, keepdims=True), 1e-12)
         ng_raw_t = ng_t
-        ns_t = b2[..., None] * n0 + b0[..., None] * n1 + b1[..., None] * n2
-        ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
-        ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)
-        # orient geometric normal to agree with shading normal
-        ng_t = jnp.where(jnp.sum(ng_t * ns_t, axis=-1, keepdims=True) < 0, -ng_t, ng_t)
-        uv_t = b2[..., None] * uv0 + b0[..., None] * uv1 + b1[..., None] * uv2
+        if tri_flat:
+            # every mesh normal equals the +winding face normal (checked at
+            # build time), so interpolation and orientation are identities
+            ns_t = ng_t
+        else:
+            n0, n1, n2 = rows[:, lay["n0"]], rows[:, lay["n1"]], rows[:, lay["n2"]]
+            ns_t = b2[..., None] * n0 + b0[..., None] * n1 + b1[..., None] * n2
+            ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
+            ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)
+            # orient geometric normal to agree with shading normal
+            ng_t = jnp.where(
+                jnp.sum(ng_t * ns_t, axis=-1, keepdims=True) < 0, -ng_t, ng_t
+            )
         m = is_tri[..., None]
+        if uv_needed:
+            uv0, uv1, uv2 = rows[:, lay["uv0"]], rows[:, lay["uv1"]], rows[:, lay["uv2"]]
+            uv_t = b2[..., None] * uv0 + b0[..., None] * uv1 + b1[..., None] * uv2
+            uv = jnp.where(m, uv_t, uv)
         ng = jnp.where(m, ng_t, ng)
         ng_raw = jnp.where(m, ng_raw_t, ng_raw)
         ns = jnp.where(m, ns_t, ns)
-        uv = jnp.where(m, uv_t, uv)
         mat = jnp.where(is_tri, mat_t, mat)
         light = jnp.where(is_tri, light_t, light)
         med_in = jnp.where(is_tri, med_in_t, med_in)
@@ -537,9 +594,9 @@ def compute_interaction(tables, hit, o, d):
         if "tan0" in tr:
             # curve tangent (hair shading); zero on non-curve triangles
             tang_t = (
-                b2[..., None] * rows[:, 28:31]
-                + b0[..., None] * rows[:, 31:34]
-                + b1[..., None] * rows[:, 34:37]
+                b2[..., None] * rows[:, lay["tan0"]]
+                + b0[..., None] * rows[:, lay["tan1"]]
+                + b1[..., None] * rows[:, lay["tan2"]]
             )
             tang = jnp.where(m, tang_t, jnp.zeros((n, 3), dtype=dt))
 
@@ -559,21 +616,25 @@ def compute_interaction(tables, hit, o, d):
         n_w = jnp.einsum("nji,nj->ni", m3[:, :, :3], n_obj)
         n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
         n_w = jnp.where(srows[:, 16:17] != 0.0, -n_w, n_w)
-        phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
-        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
-        r = srows[:, 12]
-        u_s = phi / srows[:, 15]
-        zmin = srows[:, 13]
-        zmax = srows[:, 14]
-        theta = jnp.arccos(jnp.clip(p_obj[..., 2] / jnp.maximum(r, 1e-12), -1, 1))
-        theta_min = jnp.arccos(jnp.clip(zmax / jnp.maximum(r, 1e-12), -1, 1))
-        theta_max = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1, 1))
-        v_s = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-9)
         m = is_sph[..., None]
+        if uv_needed:
+            # (phi, theta) parameterization — arctan2/arccos are among the
+            # most expensive VPU ops (~0.5ms each on a 262k wavefront), so
+            # this block is statically skipped for untextured scenes
+            phi = jnp.arctan2(p_obj[..., 1], p_obj[..., 0])
+            phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+            r = srows[:, 12]
+            u_s = phi / srows[:, 15]
+            zmin = srows[:, 13]
+            zmax = srows[:, 14]
+            theta = jnp.arccos(jnp.clip(p_obj[..., 2] / jnp.maximum(r, 1e-12), -1, 1))
+            theta_min = jnp.arccos(jnp.clip(zmax / jnp.maximum(r, 1e-12), -1, 1))
+            theta_max = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1, 1))
+            v_s = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-9)
+            uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
         ng = jnp.where(m, n_w, ng)
         ng_raw = jnp.where(m, n_w, ng_raw)
         ns = jnp.where(m, n_w, ns)
-        uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
         mat = jnp.where(is_sph, jnp.round(srows[:, 17]).astype(jnp.int32), mat)
 
     out = {

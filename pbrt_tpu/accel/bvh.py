@@ -128,6 +128,12 @@ class BVHIntersector:
         if self.n_sph:
             self._sph_brute = SoABruteForceIntersector(None, sph_data)
         if self.n_tri:
+            if use_pallas is None:
+                use_pallas = jax.default_backend() not in ("cpu",)
+            if use_pallas:
+                # the packed Pallas kernel tests all 8 leaf slots as dense
+                # vector ops; deeper trees only add scalar-bound node steps
+                leaf_size = 8
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )
@@ -150,16 +156,21 @@ class BVHIntersector:
             )
             self.perm = jnp.asarray(perm.astype(np.int32))
             self.leaf_size = leaf_size
-            if use_pallas is None:
-                use_pallas = jax.default_backend() not in ("cpu",)
-            vmem_bytes = len(mins) * 48 + self.n_tri * 64
+            # packed-tile cost: one 512B row per interior node + per leaf
+            n_leaves = int((counts > 0).sum())
+            vmem_bytes = (len(mins) - n_leaves) * 512 + n_leaves * 512
             if use_pallas and vmem_bytes < 12 * 1024 * 1024:
-                from pbrt_tpu.ops.pallas_bvh import PallasBVH
+                from pbrt_tpu.ops.pallas_bvh import PallasBVH2
 
-                self._pallas = PallasBVH(
+                self._pallas = PallasBVH2(
                     mins, maxs, skips, firsts, counts,
                     tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
                     interpret=pallas_interpret,
+                )
+                # fold slot -> permuted-prim into the original-id map so hit
+                # ids resolve with the single existing gather
+                self.perm = jnp.asarray(
+                    perm.astype(np.int32)[self._pallas.slot_to_prim]
                 )
             # scene bounds for Morton-coded ray sorting
             self._scene_min = jnp.asarray(mins[0])
@@ -203,7 +214,7 @@ class BVHIntersector:
         order = jnp.argsort(keys)
         inv = jnp.argsort(order)
         t, prim, b0, b1 = self._pallas.traverse(
-            o[order], d[order], t_max[order], any_hit=any_hit
+            o[order], d[order], t_max[order], any_hit=any_hit, remap=False
         )
         return t[inv], prim[inv], b0[inv], b1[inv]
 

@@ -55,7 +55,7 @@ def _max_digits(base: int) -> int:
     return int(math.ceil(32.0 / math.log2(base))) + 1
 
 
-def radical_inverse(base_index: int, n):
+def radical_inverse(base_index: int, n, index_bound: int | None = None):
     """Radical inverse of uint32 ``n`` in the ``base_index``-th prime base.
 
     Device function; the digit loop bound is static per base.
@@ -74,6 +74,16 @@ def radical_inverse(base_index: int, n):
 
     inv_base = np.float32(1.0 / base)
     digits = _max_digits(base)
+    if index_bound is not None and index_bound >= 1:
+        # n < index_bound needs only ceil(log_base(bound)) digits — the
+        # higher digits are zero, so the value is IDENTICAL.  A render
+        # wave's sample indices are bounded by spp, cutting the base-3..19
+        # digit chains from ~20 to 2-6 each (~5x sampler cost).
+        k, p = 1, base
+        while p < index_bound and k < digits:
+            p *= base
+            k += 1
+        digits = k
 
     # accumulate digit_k * base^-(k+1) in float — an integer digit-reversal
     # accumulator overflows uint32 after ~20 base-3 digits.
@@ -107,9 +117,9 @@ def radical_inverse(base_index: int, n):
     return jnp.minimum(val, jnp.float32(0.99999994))
 
 
-def scrambled_radical_inverse(base_index: int, n, rotation):
+def scrambled_radical_inverse(base_index: int, n, rotation, index_bound=None):
     """Cranley-Patterson rotated radical inverse; rotation in [0,1)."""
-    u = radical_inverse(base_index, n)
+    u = radical_inverse(base_index, n, index_bound)
     u = u + rotation
     return jnp.where(u >= 1.0, u - 1.0, u)
 

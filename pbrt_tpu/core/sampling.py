@@ -154,21 +154,46 @@ class Distribution1D:
             cdf = cdf / total
             self.func_int = total / n
         self.n = n
-        self.func = jnp.asarray(f.astype(float_t))
-        self.cdf = jnp.asarray(cdf.astype(float_t))
+        self.func_np = f.astype(float_t)
+        self.cdf_np = cdf.astype(float_t)
+        self.func = jnp.asarray(self.func_np)
+        self.cdf = jnp.asarray(self.cdf_np)
 
     def sample_continuous(self, u):
         """Returns (x in [0,1], pdf, offset)."""
-        offset = jnp.clip(jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.n - 1)
-        c0 = self.cdf[offset]
-        c1 = self.cdf[offset + 1]
+        if self.n <= 48:
+            # Tiny table (area-light triangle lists, light pickers): the
+            # searchsorted + 3 gathers lower to serialized dynamic-slices
+            # on TPU; comparison-count + where-chains stay fused on the VPU.
+            offset = jnp.zeros(u.shape, jnp.int32)
+            for k in range(1, self.n):
+                offset = offset + (u >= float(self.cdf_np[k])).astype(jnp.int32)
+            from pbrt_tpu.ops.tables import select_values
+
+            c0 = select_values(self.cdf[:-1], offset)
+            c1 = select_values(self.cdf[1:], offset)
+            pdf = select_values(self.func, offset) / jnp.maximum(
+                self.func_int, 1e-20
+            )
+        else:
+            offset = jnp.clip(
+                jnp.searchsorted(self.cdf, u, side="right") - 1, 0, self.n - 1
+            )
+            c0 = self.cdf[offset]
+            c1 = self.cdf[offset + 1]
+            pdf = self.func[offset] / jnp.maximum(self.func_int, 1e-20)
         du = jnp.where(c1 > c0, (u - c0) / jnp.where(c1 == c0, 1.0, c1 - c0), 0.0)
-        pdf = self.func[offset] / jnp.maximum(self.func_int, 1e-20)
         x = (offset.astype(float_t) + du) / self.n
         return x, pdf, offset
 
     def pdf_at(self, x):
         offset = jnp.clip((x * self.n).astype(jnp.int32), 0, self.n - 1)
+        if self.n <= 48:
+            from pbrt_tpu.ops.tables import select_values
+
+            return select_values(self.func, offset) / jnp.maximum(
+                self.func_int, 1e-20
+            )
         return self.func[offset] / jnp.maximum(self.func_int, 1e-20)
 
 

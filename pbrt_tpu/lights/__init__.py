@@ -363,6 +363,11 @@ class DiffuseAreaLight(Light):
             self.area_dist = Distribution1D(areas)
             n = cr / np.maximum(np.linalg.norm(cr, axis=-1, keepdims=True), 1e-12)
             self.tri_n = jnp.asarray(n.astype(float_t))
+            # packed [T, 12] p0|p1|p2|n table for the TPU-friendly row
+            # select in sample_li (gathers from tiny tables serialize)
+            self._tri_cols = jnp.asarray(
+                np.concatenate([tri_p0, tri_p1, tri_p2, n], axis=1).astype(float_t)
+            )
         else:
             self.total_area = 1.0
         self.sph_centers = (
@@ -391,11 +396,11 @@ class DiffuseAreaLight(Light):
         # reuse the fractional part of x as one fresh uniform for the triangle
         frac = jnp.clip(x * self.area_dist.n - tri_idx, 0.0, 0.999999)
         b = uniform_sample_triangle(jnp.stack([frac, u2[..., 1]], axis=-1))
-        p0 = self.tri_p0[tri_idx]
-        p1 = self.tri_p1[tri_idx]
-        p2 = self.tri_p2[tri_idx]
+        from pbrt_tpu.ops.tables import select_rows
+
+        rows = select_rows(self._tri_cols, tri_idx)
+        p0, p1, p2, n_l = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
         p_l = p0 + b[..., 0:1] * (p1 - p0) + b[..., 1:2] * (p2 - p0)
-        n_l = self.tri_n[tri_idx]
         to_l = p_l - p
         d2 = jnp.sum(to_l * to_l, axis=-1)
         dist = jnp.sqrt(d2)

@@ -33,12 +33,14 @@ class Renderer:
         self.film = self.compiled.film
         self.sampler = self.compiled.sampler
         self.camera = self.compiled.camera
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=("index_bound",))
         self.rays_traced = 0
 
     def _step_impl(self, state, pixel_xy, sample_index, lane_mask,
-                   splat_scale=1.0):
+                   splat_scale=1.0, index_bound=None):
         sampler = self.sampler
+        if index_bound:
+            sampler = sampler.bounded(index_bound)
         u_film = sampler.get2(pixel_xy, sample_index, 0)
         p_film = pixel_xy.astype(float_t) + u_film
         u_lens = sampler.get2(pixel_xy, sample_index, 2)
@@ -119,7 +121,7 @@ class Renderer:
 
         from pbrt_tpu.core import spectrum as spec
 
-        sampler = self.sampler
+        sampler = self.sampler.bounded(spp)
         u_film = sampler.get2(pixel_xy, sample_index, 0)
         p_film = pixel_xy.astype(float_t) + u_film
         u_lens = sampler.get2(pixel_xy, sample_index, 2)
@@ -225,6 +227,7 @@ class Renderer:
                 jnp.asarray(sidx_chunks[ci]),
                 jnp.asarray(masks[ci]),
                 splat_scale,
+                index_bound=spp,
             )
             if progress and (ci == 0 or ci == n_chunks - 1 or (ci + 1) % 8 == 0):
                 jax.block_until_ready(state["weight"])

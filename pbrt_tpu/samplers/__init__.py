@@ -42,10 +42,23 @@ def _pixel_code(pixel_xy):
 
 class Sampler:
     samples_per_pixel: int = 16
+    # static promise that every sample_index passed to get/get2 is < bound
+    # (set via bounded(); lets Halton truncate its digit chains)
+    index_bound: int | None = None
 
     def __init__(self, samples_per_pixel: int, seed: int = 0):
         self.samples_per_pixel = int(samples_per_pixel)
         self.seed = int(seed)
+
+    def bounded(self, index_bound: int):
+        """Shallow view of this sampler whose callers promise
+        ``sample_index < index_bound`` — values are unchanged, only
+        statically-dead digit work is elided."""
+        import copy
+
+        s = copy.copy(self)
+        s.index_bound = int(index_bound)
+        return s
 
     def get(self, pixel_xy, sample_index, dim: int):
         raise NotImplementedError
@@ -155,7 +168,9 @@ class HaltonSampler(Sampler):
         pc = _pixel_code(pixel_xy)
         rot_bits = hash_combine(pc, jnp.uint32(d), jnp.uint32(self.seed))
         rot = u32_to_float(rot_bits)
-        return scrambled_radical_inverse(d, jnp.asarray(sample_index, jnp.uint32), rot)
+        return scrambled_radical_inverse(
+            d, jnp.asarray(sample_index, jnp.uint32), rot, self.index_bound
+        )
 
 
 class SobolSampler(Sampler):

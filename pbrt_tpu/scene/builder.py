@@ -440,38 +440,13 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
 # ---------------------------------------------------------------------------
 
 
-# Tables at or below WHERE_CHAIN_MAX_ROWS are read with a fused
-# select chain (pure VPU, exact); tables up to ONE_HOT_MAX_ROWS use an
-# exact one-hot reduction on the MXU; larger ones use a real gather.
-# XLA lowers gathers from small tables to serialized dynamic-slices on
-# TPU, which measured ~20ms per bounce on a 262k-lane wavefront vs <2ms
-# for the matmul form; the matmul in turn pads K to 128 and runs 6-pass
-# f32 emulation, so for tiny tables (a Cornell box: 14 rows) the select
-# chain wins again (~2.5x, measured on v5e).
-WHERE_CHAIN_MAX_ROWS = 48
-ONE_HOT_MAX_ROWS = 1024
-
-
-def select_rows(cols, idx):
-    """Row-select ``cols[idx]`` ([T, C], [N] -> [N, C]), TPU-friendly.
-
-    Tiny tables: fused where-chain (exact, no MXU padding waste).
-    Small tables: one-hot x matmul (HIGHEST precision — f32-accurate).
-    Large tables: real gather (the BVH regime, where prim ids are
-    already sorted/coherent).
-    """
-    t = cols.shape[0]
-    if t <= WHERE_CHAIN_MAX_ROWS:
-        out = jnp.broadcast_to(cols[0][None, :], (idx.shape[0], cols.shape[1]))
-        for k in range(1, t):
-            out = jnp.where((idx == k)[:, None], cols[k][None, :], out)
-        return out
-    if t <= ONE_HOT_MAX_ROWS and cols.dtype == jnp.float32:
-        oh = (
-            idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]
-        ).astype(cols.dtype)
-        return jax.lax.dot(oh, cols, precision=jax.lax.Precision.HIGHEST)
-    return cols[idx]
+# Small-table read strategy lives in ops/tables.py (shared with lights
+# and Distribution1D); re-exported here for existing callers.
+from pbrt_tpu.ops.tables import (  # noqa: E402,F401
+    ONE_HOT_MAX_ROWS,
+    WHERE_CHAIN_MAX_ROWS,
+    select_rows,
+)
 
 
 def _tri_cols(tr, need_normals=True, need_uv=True):

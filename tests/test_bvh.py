@@ -178,3 +178,50 @@ def test_sorted_pallas_traversal_matches_brute():
     np.testing.assert_array_equal(
         np.asarray(hb["prim"])[m], np.asarray(hp["prim"])[m]
     )
+
+
+def test_ordered_pallas_kernel_matches_brute():
+    """The ordered stack-traversal kernel (PallasBVH2) in interpret mode
+    must agree with brute force on hits/t and produce valid prims."""
+    from pbrt_tpu.ops.pallas_bvh import PallasBVH2
+
+    tri = random_mesh(800, seed=5)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(tri.p0, tri.p1, tri.p2)
+    k = PallasBVH2(
+        mins, maxs, skips, firsts, counts,
+        tri.p0[perm], tri.p1[perm], tri.p2[perm], interpret=True,
+    )
+    brute = BruteForceIntersector(tri, None)
+    o, d = random_rays(2048, seed=11)
+    tm = jnp.full((2048,), 1e8, jnp.float32)
+    t, prim, b0, b1 = k.traverse(o, d, tm)
+    hb = jax.jit(brute.intersect)(o, d, tm)
+    hit = np.asarray(prim) >= 0
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), hit)
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[hit], np.asarray(t)[hit], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb["prim"])[hit], np.asarray(perm)[np.asarray(prim)[hit]]
+    )
+    # any-hit agrees on occlusion
+    _, prim_any, _, _ = k.traverse(o, d, tm, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(prim_any) >= 0, hit)
+
+
+def test_ordered_pallas_kernel_single_leaf():
+    """Tiny mesh (root is a single leaf) goes through the leaf-root path."""
+    from pbrt_tpu.ops.pallas_bvh import PallasBVH2
+
+    tri = random_mesh(3, seed=6)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(tri.p0, tri.p1, tri.p2)
+    k = PallasBVH2(
+        mins, maxs, skips, firsts, counts,
+        tri.p0[perm], tri.p1[perm], tri.p2[perm], interpret=True,
+    )
+    brute = BruteForceIntersector(tri, None)
+    o, d = random_rays(512, seed=12)
+    tm = jnp.full((512,), 1e8, jnp.float32)
+    t, prim, _, _ = k.traverse(o, d, tm)
+    hb = jax.jit(brute.intersect)(o, d, tm)
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(prim) >= 0)

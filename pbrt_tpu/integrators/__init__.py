@@ -66,6 +66,9 @@ def make_integrator(compiled):
             mutations_per_pixel=params.find_one_int("mutationsperpixel", 32),
             large_step_prob=params.find_one_float("largestepprobability", 0.3),
             sigma=params.find_one_float("sigma", 0.01),
+            # BDPT defers volumetric transport to volpath; media scenes keep
+            # the unidirectional target
+            strategy="path" if getattr(compiled, "media", None) else "bdpt",
         )
     log.warning("Integrator '%s' unknown; using path.", name)
     return PathIntegrator(compiled, max_depth, 1.0)

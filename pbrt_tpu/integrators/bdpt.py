@@ -585,10 +585,13 @@ class BDPTIntegrator(PathIntegrator):
             if isinstance(lt, (DiffuseAreaLight, PointLight))
         ]
         nl = len(traceable)
-        u_sel = sampler.get(pkey, sidx, 0)
+        # dims 0-4 under an offset pixel key by default; MLT's TableSampler
+        # ignores pixel keys, so it assigns a disjoint dimension range here
+        db = getattr(self, "light_origin_dim_base", 0) or 0
+        u_sel = sampler.get(pkey, sidx, db + 0)
         pick = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
-        u_pos = sampler.get2(pkey, sidx, 1)
-        u_dir = sampler.get2(pkey, sidx, 3)
+        u_pos = sampler.get2(pkey, sidx, db + 1)
+        u_dir = sampler.get2(pkey, sidx, db + 3)
         o = jnp.zeros((n, 3), jnp.float32)
         d = uniform_sample_sphere(u_dir)
         beta = jnp.zeros((n, 3), jnp.float32)
@@ -612,11 +615,13 @@ class BDPTIntegrator(PathIntegrator):
                 x, _, tri_idx = lt.area_dist.sample_continuous(u_pos[..., 0])
                 frac = jnp.clip(x * lt.area_dist.n - tri_idx, 0.0, 0.999999)
                 b = uniform_sample_triangle(jnp.stack([frac, u_pos[..., 1]], axis=-1))
-                p0 = lt.tri_p0[tri_idx]
-                p1 = lt.tri_p1[tri_idx]
-                p2 = lt.tri_p2[tri_idx]
+                from pbrt_tpu.ops.tables import select_rows
+
+                rows = select_rows(lt._tri_cols, tri_idx)
+                p0, p1, p2, n_l = (
+                    rows[:, 0:3], rows[:, 3:6], rows[:, 6:9], rows[:, 9:12]
+                )
                 oi = p0 + b[..., 0:1] * (p1 - p0) + b[..., 1:2] * (p2 - p0)
-                n_l = lt.tri_n[tri_idx]
                 local = cosine_sample_hemisphere(u_dir)
                 s1, s2 = coordinate_system(n_l)
                 di = local[..., 0:1] * s1 + local[..., 1:2] * s2 + local[..., 2:3] * n_l

@@ -8,11 +8,20 @@ dense vector ops.  Contributions are splatted through the film's splat
 channel (film.rs add_splat — completed here) and normalized by the
 bootstrap estimate b of the average luminance.
 
-Divergence from pbrt-v3 (documented): the underlying path distribution is
-the unidirectional path tracer with NEE rather than BDPT strategies, so
-this is Kelemen-style PSSMLT; the Markov machinery (two-scale mutations,
-large steps, bootstrap normalization, expected-value splatting) follows
-pbrt §16.4.3-16.4.5.
+Like pbrt's MLT (integrators/mlt.cpp MLTSampler + bdpt strategies), the
+target function is built on the FULL BDPT strategy set — camera/light
+subpaths with disjoint primary-sample dimension streams, all (s,t)
+connections with ratio-walk MIS, and the light-tracing (t=1) film splats,
+whose raster positions ride along with each proposal exactly like pbrt's
+pRaster.  Divergence (documented): pbrt decomposes the target by path
+depth and runs chains per (depth, strategy) picked at bootstrap; here
+every lane-chain targets the combined all-depth BDPT estimator (Kelemen's
+original formulation) — the wavefront evaluates every strategy per sample
+anyway, so depth decomposition would only discard work.  The Markov
+machinery (two-scale mutations, large steps, f-proportional bootstrap
+seeding, expected-value splatting, b-normalization) follows
+pbrt §16.4.3-16.4.5.  ``strategy="path"`` keeps the unidirectional
+target (cheaper; used for media scenes, where BDPT defers to volpath).
 """
 
 from __future__ import annotations
@@ -61,19 +70,44 @@ class MLTIntegrator(PathIntegrator):
 
     def __init__(self, compiled, max_depth=5, n_bootstrap=4096,
                  mutations_per_pixel=32, large_step_prob=0.3,
-                 sigma=0.01, n_chains_cap=1 << 16):
+                 sigma=0.01, n_chains_cap=1 << 16, strategy="bdpt"):
         super().__init__(compiled, max_depth)
         self.n_bootstrap = int(n_bootstrap)
         self.mutations_per_pixel = int(mutations_per_pixel)
         self.p_large = float(large_step_prob)
         self.sigma = float(sigma)
         self.n_chains_cap = int(n_chains_cap)
-        self.n_dims = 5 + 7 * self.max_depth
+        self.strategy = strategy
+        if strategy == "bdpt":
+            from pbrt_tpu.integrators.bdpt import BDPTIntegrator
+
+            self._bdpt = BDPTIntegrator(compiled, max_depth)
+            # camera (5 + 7*t_max) and light (7*s_max) streams are already
+            # disjoint; give the light-origin dims their own range too
+            # (the TableSampler cannot decorrelate via pixel keys)
+            base = 5 + 7 * (self._bdpt.t_max + self._bdpt.s_max)
+            self._bdpt.light_origin_dim_base = base
+            self.n_dims = base + 5
+        else:
+            self._bdpt = None
+            self.n_dims = 5 + 7 * self.max_depth
 
     # -- sample-vector -> radiance ------------------------------------------
 
+    @staticmethod
+    def _lum(L):
+        return jnp.maximum(
+            0.212671 * L[..., 0] + 0.715160 * L[..., 1] + 0.072169 * L[..., 2],
+            0.0,
+        )
+
     def _evaluate(self, u, film):
-        """u: [N, D] primary samples -> (p_film [N,2], L [N,3], f [N])."""
+        """u: [N, D] primary samples -> (p_film, L, f, splats).
+
+        ``splats`` is a list of (praster [N,2], L [N,3]) from light-tracing
+        strategies (BDPT t=1); their luminance is part of the target f and
+        they are recorded at their own raster positions (pbrt's pRaster).
+        """
         n = u.shape[0]
         b = film.cropped_pixel_bounds
         fx = b.p_min[0] + u[:, 0] * b.width
@@ -85,12 +119,20 @@ class MLTIntegrator(PathIntegrator):
         o, d, w = self.c.camera.generate_rays(
             p_film, sampler.get2(pixel_xy, sidx, 2)
         )
-        L = self.li(sampler, pixel_xy, sidx, o, d)
+        if self._bdpt is not None:
+            L, raw_splats = self._bdpt.li_splat(sampler, pixel_xy, sidx, o, d)
+        else:
+            L, raw_splats = self.li(sampler, pixel_xy, sidx, o, d), []
         L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
-        f = (
-            0.212671 * L[..., 0] + 0.715160 * L[..., 1] + 0.072169 * L[..., 2]
-        )
-        return p_film, L, jnp.maximum(f, 0.0)
+        f = self._lum(L)
+        splats = []
+        for ps, Ls, ms in raw_splats:
+            Ls = jnp.where(
+                (ms[..., None]) & jnp.isfinite(Ls), Ls, 0.0
+            )
+            splats.append((ps, Ls))
+            f = f + self._lum(Ls)
+        return p_film, L, f, splats
 
     @staticmethod
     def _uniform(n, d, key):
@@ -136,7 +178,7 @@ class MLTIntegrator(PathIntegrator):
         boot_fs = []
         for r in range(boot_rounds):
             ub = self._uniform(n_chains, d, 1000 + r)
-            _, _, fb = eval_j(ub)
+            fb = eval_j(ub)[2]
             boot_us.append(ub)
             boot_fs.append(fb)
         boot_u = jnp.concatenate(boot_us, axis=0)
@@ -164,21 +206,28 @@ class MLTIntegrator(PathIntegrator):
             sel, acc_bits, _ = pcg3d(lane, jnp.uint32(key), jnp.uint32(0xAB))
             is_large = u32_to_float(sel) < self.p_large
             u_prop = jnp.where(is_large[:, None], large_u, self._mutate(u, key))
-            p_new, L_new, f_new = self._evaluate(u_prop, film)
-            p_old, L_old, f_old = self._evaluate(u, film)
+            p_new, L_new, f_new, sp_new = self._evaluate(u_prop, film)
+            p_old, L_old, f_old, sp_old = self._evaluate(u, film)
             a = jnp.minimum(1.0, f_new / jnp.maximum(f_old, 1e-12))
             a = jnp.where(f_old <= 0, 1.0, a)
-            # expected-value splats (pbrt 16.4.5): old with (1-a), new with a
+            # expected-value splats (pbrt 16.4.5): old with (1-a), new with
+            # a; light-tracing contributions land at their own pRaster
             w_new = a / jnp.maximum(f_new, 1e-12)
             w_old = (1.0 - a) / jnp.maximum(f_old, 1e-12)
-            state_splat = film.add_splats(
-                state_splat, p_new, L_new * w_new[..., None],
-                mask=f_new > 0,
-            )
-            state_splat = film.add_splats(
-                state_splat, p_old, L_old * w_old[..., None],
-                mask=f_old > 0,
-            )
+            for pw, Lw, ww, fw in (
+                (p_new, L_new, w_new, f_new),
+                (p_old, L_old, w_old, f_old),
+            ):
+                state_splat = film.add_splats(
+                    state_splat, pw, Lw * ww[..., None], mask=fw > 0
+                )
+            for (ps, Ls), ww, fw in (
+                [(sp, w_new, f_new) for sp in sp_new]
+                + [(sp, w_old, f_old) for sp in sp_old]
+            ):
+                state_splat = film.add_splats(
+                    state_splat, ps, Ls * ww[..., None], mask=fw > 0
+                )
             accept = u32_to_float(acc_bits) < a
             u = jnp.where(accept[:, None], u_prop, u)
             f = jnp.where(accept, f_new, f)

@@ -44,23 +44,24 @@ def main():
     tmax = jnp.full((n,), 1e8, jnp.float32)
     o = jnp.asarray(oc); d = jnp.asarray(dc)
 
-    # 1. sort cost alone
-    def sortonly(o, d):
-        keys = bvh._sort_keys(o, d)
-        order = jnp.argsort(keys)
-        inv = jnp.argsort(order)
-        return o[order][inv]
-    t = timeit(jax.jit(sortonly), o, d)
-    print(f"sort+unsort (2 argsort + 2 gathers): {t*1e3:8.2f} ms", flush=True)
-
-    # 2. kernel on HOST-presorted rays (no sort in the timed path)
-    keys = np.asarray(jax.jit(bvh._sort_keys)(o, d))
-    order = np.argsort(keys)
+    # host presort (octant+morton key computed on host-mirrored logic)
+    import numpy as _np
+    dn = _np.asarray(dc); on = _np.asarray(oc)
+    octant = (dn[:,0]<0)*4 + (dn[:,1]<0)*2 + (dn[:,2]<0)
+    smin = _np.asarray(bvh._scene_min); sext = _np.asarray(bvh._scene_extent)
+    q = _np.clip((on - smin)/sext, 0, 0.999999)
+    qi = (q*512).astype(_np.uint32)
+    def p12(v):
+        v = v & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    morton = p12(qi[:,0]) | (p12(qi[:,1])<<1) | (p12(qi[:,2])<<2)
+    keys = (octant.astype(_np.uint32)<<27) | (morton & 0x07FFFFFF)
+    order = _np.argsort(keys)
     os_, ds_ = o[order], d[order]
-    f = jax.jit(lambda o, d, t: k.traverse(o, d, t, remap=False))
-    t = timeit(f, os_, ds_, tmax)
-    print(f"kernel, presorted coherent:          {t*1e3:8.2f} ms "
-          f"= {n/t/1e6:6.2f} Mray/s", flush=True)
 
     # 3. iteration count: same kernel but with a counter output
     from pbrt_tpu.ops import pallas_bvh as PB

@@ -72,14 +72,16 @@ def _remap0(x):
 class _Vertex:
     """SoA vertex record (one bounce slot across the wavefront)."""
 
-    __slots__ = ("p", "ns", "wo", "beta", "pdf_fwd", "pdf_rev", "delta",
-                 "valid", "params", "is_light", "light_id")
+    __slots__ = ("p", "ns", "ss", "ts", "wo", "beta", "pdf_fwd", "pdf_rev",
+                 "delta", "valid", "params", "is_light", "light_id")
 
     def __init__(self, n, dt):
         z3 = jnp.zeros((n, 3), dtype=dt)
         z1 = jnp.zeros((n,), dtype=dt)
         self.p = z3
         self.ns = z3
+        self.ss = z3
+        self.ts = z3
         self.wo = z3
         self.beta = z3
         self.pdf_fwd = z1
@@ -161,6 +163,9 @@ class BDPTIntegrator(PathIntegrator):
             v = _Vertex(n, dt)
             v.p = si["p"]
             v.ns = ns
+            # tangent-aligned frame (hair) preserved for connection phases
+            v.ss = ss
+            v.ts = ts
             v.wo = wo
             v.beta = beta
             v.valid = alive & (si["mat"] >= 0)
@@ -370,7 +375,7 @@ class BDPTIntegrator(PathIntegrator):
                 (wi_w, li, l_pdf, l_dist, l_delta, l_info) = self._sample_one_light_ex(
                     v.p, u_sel, u_l, theta
                 )
-                ss, ts = coordinate_system(v.ns)
+                ss, ts = v.ss, v.ts
                 wo_l = _to_local(v.ns, ss, ts, v.wo)
                 wi_l = _to_local(v.ns, ss, ts, wi_w)
                 f = B.bsdf_eval(v.params, wo_l, wi_l)
@@ -432,7 +437,7 @@ class BDPTIntegrator(PathIntegrator):
                 lv = light_verts[s - 2]  # light vertex index s-1 => slot s-2
                 lv_prev_p = lo if s == 2 else light_verts[s - 3].p
                 lv_prev_ns = l_ns if s == 2 else light_verts[s - 3].ns
-                ssl, tsl = coordinate_system(lv.ns)
+                ssl, tsl = lv.ss, lv.ts
                 wo_lv = _to_local(lv.ns, ssl, tsl, lv.wo)
 
                 # ---- t=0: light tracing to the pinhole (splat) ----------
@@ -475,7 +480,7 @@ class BDPTIntegrator(PathIntegrator):
                     dist2 = jnp.sum(seg * seg, axis=-1)
                     w_dir = seg / jnp.sqrt(jnp.maximum(dist2, 1e-20))[..., None]
                     # camera-side bsdf
-                    ssc, tsc = coordinate_system(cv.ns)
+                    ssc, tsc = cv.ss, cv.ts
                     wo_c = _to_local(cv.ns, ssc, tsc, cv.wo)
                     wi_c = _to_local(cv.ns, ssc, tsc, w_dir)
                     f_c = B.bsdf_eval(cv.params, wo_c, wi_c)

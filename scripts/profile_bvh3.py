@@ -123,7 +123,7 @@ def main():
         t_out[...] = t0
         prim_out[...] = jnp.full(t0.shape, -1, jnp.int32)
         b0_out[...] = t0; b1_out[...] = t0
-        it_out[0] = iters
+        it_out[...] = jnp.broadcast_to(iters, t0.shape)
 
     g = n // PB.BLOCK
     def comp(x):
@@ -134,7 +134,8 @@ def main():
     root_spec = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     out_spec = pl.BlockSpec((PB.BLOCK_SUB, PB.BLOCK_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    it_spec = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    it_spec = pl.BlockSpec((PB.BLOCK_SUB, PB.BLOCK_LANE), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     shape = (g * PB.BLOCK_SUB, PB.BLOCK_LANE)
     res = pl.pallas_call(
         counting_kernel, grid=(g,),
@@ -144,7 +145,7 @@ def main():
                    jax.ShapeDtypeStruct(shape, jnp.int32),
                    jax.ShapeDtypeStruct(shape, jnp.float32),
                    jax.ShapeDtypeStruct(shape, jnp.float32),
-                   jax.ShapeDtypeStruct((g,), jnp.int32)),
+                   jax.ShapeDtypeStruct(shape, jnp.int32)),
         scratch_shapes=[pltpu.SMEM((96,), jnp.int32)],
     )
     fc = jax.jit(lambda a, b, c, *rays: res(a, b, c, *rays))
@@ -153,7 +154,7 @@ def main():
             comp(jnp.asarray(ds_[:, 0])), comp(jnp.asarray(ds_[:, 1])), comp(jnp.asarray(ds_[:, 2])),
             comp(tmax))
     out = fc(*args)
-    iters = np.asarray(out[4])
+    iters = np.asarray(out[4])[::8, 0]
     dt = timeit(fc, *args)
     print(f"traversal-only (no leaf tests):      {dt*1e3:8.2f} ms", flush=True)
     print(f"iterations/packet: mean {iters.mean():.0f} min {iters.min()} "

@@ -51,6 +51,18 @@ class SPPMIntegrator(PathIntegrator):
         self.photons_per_iter = int(photons_per_iteration)
         self.initial_radius = float(initial_radius)
         self.max_per_cell = int(max_per_cell)
+        # pure-Lambertian scenes take the exact kd/pi gather shortcut;
+        # anything glossy/hair/etc. evaluates the real BSDF per photon
+        def _entry_types(e):
+            if e.mix_children is not None:
+                return [c.type_id for c in e.mix_children]
+            return [e.type_id]
+
+        self._gather_full_bsdf = any(
+            t != B.MATTE
+            for e in compiled.materials
+            for t in _entry_types(e)
+        )
 
     # -- camera pass -------------------------------------------------------
 
@@ -70,6 +82,10 @@ class SPPMIntegrator(PathIntegrator):
         vp_ns = jnp.zeros((n, 3), dtype=dt)
         vp_beta = jnp.zeros((n, 3), dtype=dt)
         vp_kd = jnp.zeros((n, 3), dtype=dt)
+        vp_ss = jnp.zeros((n, 3), dtype=dt)
+        vp_ts = jnp.zeros((n, 3), dtype=dt)
+        vp_wo = jnp.zeros((n, 3), dtype=dt)
+        vp_params = None
         specular_bounce = jnp.ones((n,), dtype=bool)
         prev_pdf = jnp.ones((n,), dtype=dt)
         prev_p = o
@@ -100,6 +116,19 @@ class SPPMIntegrator(PathIntegrator):
             vp_ns = jnp.where(newly[..., None], ns, vp_ns)
             vp_beta = jnp.where(newly[..., None], beta, vp_beta)
             vp_kd = jnp.where(newly[..., None], params["kd"], vp_kd)
+            vp_ss = jnp.where(newly[..., None], ss, vp_ss)
+            vp_ts = jnp.where(newly[..., None], ts, vp_ts)
+            vp_wo = jnp.where(newly[..., None], wo, vp_wo)
+            if self._gather_full_bsdf:
+                def _merge(new, old):
+                    if not isinstance(new, jnp.ndarray) or new.ndim == 0:
+                        return new
+                    m = newly.reshape(newly.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+                vp_params = (
+                    params if vp_params is None
+                    else jax.tree_util.tree_map(_merge, params, vp_params)
+                )
             found = found | newly
             alive = alive & ~newly  # diffuse lanes stop; specular continue
 
@@ -147,7 +176,9 @@ class SPPMIntegrator(PathIntegrator):
             d = wi_w
             prev_p = si["p"]
 
-        vp = {"p": vp_p, "ns": vp_ns, "beta": vp_beta, "kd": vp_kd, "valid": found}
+        vp = {"p": vp_p, "ns": vp_ns, "beta": vp_beta, "kd": vp_kd,
+              "valid": found, "ss": vp_ss, "ts": vp_ts, "wo": vp_wo,
+              "params": vp_params}
         return vp, L
 
     # -- photon pass -------------------------------------------------------
@@ -232,6 +263,7 @@ class SPPMIntegrator(PathIntegrator):
 
         dep_p = []
         dep_w = []
+        dep_d = []
         dep_ok = []
         for bounce in range(self.max_depth):
             base = 5 + 7 * bounce
@@ -251,6 +283,7 @@ class SPPMIntegrator(PathIntegrator):
             deposit = alive & diffuse & (bounce > 0)  # skip direct (camera handles it)
             dep_p.append(si["p"])
             dep_w.append(jnp.where(deposit[..., None], power, 0.0))
+            dep_d.append(d)  # photon travel direction (wi at the vp = -d)
             dep_ok.append(deposit)
 
             if bounce == self.max_depth - 1:
@@ -274,6 +307,7 @@ class SPPMIntegrator(PathIntegrator):
         return (
             jnp.concatenate(dep_p, axis=0),
             jnp.concatenate(dep_w, axis=0),
+            jnp.concatenate(dep_d, axis=0),
             jnp.concatenate(dep_ok, axis=0),
         )
 
@@ -290,8 +324,12 @@ class SPPMIntegrator(PathIntegrator):
         return hash_u32(qx * jnp.uint32(73856093) ^ qy * jnp.uint32(19349663)
                         ^ qz * jnp.uint32(83492791))
 
-    def _gather(self, vp, radius, photon_p, photon_w, photon_ok, cell_size):
-        """Flux gathered by each visible point within its radius [N,3]."""
+    def _gather(self, vp, radius, photon_p, photon_w, photon_d, photon_ok,
+                cell_size):
+        """Scattered flux at each visible point: sum over in-radius photons
+        of f(wo, wi_photon) * power — pbrt's Phi accumulation (sppm.cpp),
+        with the real BSDF when the scene has non-matte materials and the
+        exact kd/pi shortcut when everything is Lambertian."""
         inv_cs = 1.0 / cell_size
         pq = jnp.floor(photon_p * inv_cs).astype(jnp.int32)
         pkey = self._cell_key(pq, None)
@@ -300,11 +338,15 @@ class SPPMIntegrator(PathIntegrator):
         pkey_s = pkey[order]
         pp_s = photon_p[order]
         pw_s = photon_w[order]
+        pd_s = photon_d[order]
 
         n = vp["p"].shape[0]
         flux = jnp.zeros((n, 3), dtype=jnp.float32)
         r2 = radius * radius
         k = self.max_per_cell
+        full = self._gather_full_bsdf and vp.get("params") is not None
+        if full:
+            wo_l = _to_local(vp["ns"], vp["ss"], vp["ts"], vp["wo"])
         for ox in (-1, 0, 1):
             for oy in (-1, 0, 1):
                 for oz in (-1, 0, 1):
@@ -319,7 +361,14 @@ class SPPMIntegrator(PathIntegrator):
                         dp = pp_s[idx] - vp["p"]
                         d2 = jnp.sum(dp * dp, axis=-1)
                         ok = match & (d2 <= r2) & vp["valid"]
-                        flux = flux + jnp.where(ok[..., None], pw_s[idx], 0.0)
+                        if full:
+                            wi_l = _to_local(
+                                vp["ns"], vp["ss"], vp["ts"], -pd_s[idx]
+                            )
+                            f = B.bsdf_eval(vp["params"], wo_l, wi_l)
+                        else:
+                            f = vp["kd"] * jnp.float32(1.0 / np.pi)
+                        flux = flux + jnp.where(ok[..., None], pw_s[idx] * f, 0.0)
         return flux
 
     # -- main custom render -------------------------------------------------
@@ -358,12 +407,12 @@ class SPPMIntegrator(PathIntegrator):
             o, d, w = camera.generate_rays(p_film, sampler.get2(pix, sidx, 2))
             vp, L_dir = self._camera_pass(sampler, pix, sidx, o, d)
             L_direct = L_direct + L_dir
-            ph_p, ph_w, ph_ok = self._photon_pass(sampler, n_photons, it)
+            ph_p, ph_w, ph_d, ph_ok = self._photon_pass(sampler, n_photons, it)
             cell = float(radius0)  # grid sized by the initial (max) radius
-            flux = self._gather(vp, radius, ph_p, ph_w, ph_ok, cell)
-            # SPPM statistics (global-count variant of pbrt 16.2.6)
-            m = jnp.where(vp["valid"], 1.0, 0.0)  # photon count proxy via flux
-            phi = vp["beta"] * vp["kd"] / jnp.asarray(np.pi, jnp.float32) * flux
+            flux = self._gather(vp, radius, ph_p, ph_w, ph_d, ph_ok, cell)
+            # SPPM statistics (global-count variant of pbrt 16.2.6);
+            # _gather already applied f(wo, wi) per photon
+            phi = vp["beta"] * flux
             got = jnp.sum(jnp.abs(flux), axis=-1) > 0
             m_count = jnp.where(got, 1.0, 0.0)
             new_n = n_acc + alpha * m_count

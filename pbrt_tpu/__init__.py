@@ -41,6 +41,24 @@ if _DOUBLE:  # pragma: no cover - exercised via env-flag CI job
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: first compile through the remote-TPU
+# tunnel can take 10+ minutes; cached executables load in seconds.  Opt out
+# with PBRT_TPU_NO_COMPILE_CACHE=1 (harmless on CPU test runs — conftest's
+# platform switch keys the cache by platform).
+if os.environ.get("PBRT_TPU_NO_COMPILE_CACHE", "0") in ("", "0", "false"):
+    import jax
+
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "pbrt_tpu_xla"),
+    )
+    try:  # pragma: no cover - best-effort perf knob
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 #: numpy dtype used for all "Float" quantities (f32 unless PBRT_TPU_DOUBLE=1).
 float_t = np.float64 if _DOUBLE else np.float32
 #: machine epsilon for the active Float type.

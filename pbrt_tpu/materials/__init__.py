@@ -251,7 +251,25 @@ def material_theta(entries):
     procedural/image textures hold the defaults and are ignored at eval.
     Used for inverse rendering: pass (possibly optimized) ``theta`` back into
     :func:`eval_material_params` and gradients flow to these leaves.
+
+    Scenes containing mix materials get a split pytree {"a": ..., "b": ...}
+    holding the two per-child entry lists' rows (mix entries replaced by
+    child 0 / child 1, other entries duplicated); eval routes each half to
+    the matching child parameter set so gradients flow through both lobes.
     """
+    if any(e.mix_children is not None for e in entries):
+        return {
+            "a": _material_theta_flat(
+                [e.mix_children[0] if e.mix_children else e for e in entries]
+            ),
+            "b": _material_theta_flat(
+                [e.mix_children[1] if e.mix_children else e for e in entries]
+            ),
+        }
+    return _material_theta_flat(entries)
+
+
+def _material_theta_flat(entries):
     from pbrt_tpu.textures.constant import ConstantTexture
 
     m = len(entries)
@@ -289,11 +307,15 @@ def eval_material_params(entries, mat_id, si, theta=None):
     # mat_id keeps addressing the same rows
     entries_a = [e.mix_children[0] if e.mix_children else e for e in entries]
     entries_b = [e.mix_children[1] if e.mix_children else e for e in entries]
-    # theta rows were extracted from the ORIGINAL entry list; child slots
-    # would read the wrong rows, so differentiable overrides are disabled
-    # for scenes containing mix (tracked gap)
-    params = _eval_material_params_single(entries_a, mat_id, si, None)
-    params_b = _eval_material_params_single(entries_b, mat_id, si, None)
+    # material_theta produced split per-child rows for mix scenes; route
+    # each half to the matching child entry list (tex_images apply to both)
+    theta_a = theta_b = None
+    if theta is not None:
+        tex = {"tex_images": theta["tex_images"]} if "tex_images" in theta else {}
+        theta_a = {**theta["a"], **tex}
+        theta_b = {**theta["b"], **tex}
+    params = _eval_material_params_single(entries_a, mat_id, si, theta_a)
+    params_b = _eval_material_params_single(entries_b, mat_id, si, theta_b)
     n = mat_id.shape[0]
     dt = params["kd"].dtype
     amt = jnp.ones((n, 3), dtype=dt)

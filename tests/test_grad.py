@@ -82,6 +82,46 @@ def test_grad_matches_finite_difference_env(renderer):
     np.testing.assert_allclose(ad, fd, rtol=0.05)
 
 
+MIX_SCENE = SCENE.replace(
+    'Material "matte" "rgb Kd" [0.4 0.5 0.6]',
+    '''MakeNamedMaterial "ma" "string type" "matte" "rgb Kd" [0.4 0.5 0.6]
+MakeNamedMaterial "mb" "string type" "matte" "rgb Kd" [0.1 0.8 0.3]
+Material "mix" "string namedmaterial1" "ma" "string namedmaterial2" "mb"
+  "rgb amount" [0.3 0.3 0.3]''',
+)
+
+
+def test_grad_through_mix_material():
+    """Mix scenes get split {"a","b"} theta rows; gradients flow to BOTH
+    child lobes and match finite differences (tracked-gap closure)."""
+    api = PbrtAPI(Options(ray_batch=64), render_on_world_end=False)
+    api.init()
+    api.parse_string(MIX_SCENE)
+    r = Renderer(api.scene, api.opt, seed=0)
+    theta = r.compiled.initial_theta()
+    assert "a" in theta and "b" in theta, "mix scene must produce split theta"
+    pixels = jnp.asarray(
+        r.film.cropped_pixel_bounds.offsets().astype(np.int32)
+    )
+    target = np.zeros((8, 8, 3), dtype=np.float32)
+    loss = make_loss_fn(r, target, spp=2)
+    g = jax.jit(jax.grad(loss))(theta, pixels)
+    eps = 1e-2
+    lf = jax.jit(loss)
+
+    for half in ("a", "b"):
+        def with_kd(delta):
+            t2 = dict(theta)
+            t2[half] = dict(theta[half])
+            t2[half]["kd"] = theta[half]["kd"].at[0, 0].add(delta)
+            return float(lf(t2, pixels))
+
+        fd = (with_kd(eps) - with_kd(-eps)) / (2 * eps)
+        ad = float(g[half]["kd"][0, 0])
+        assert fd != 0.0, f"mix child {half} must contribute to the image"
+        np.testing.assert_allclose(ad, fd, rtol=0.05)
+
+
 def test_gradient_descent_recovers_albedo(renderer):
     """Optimize kd to match a target rendered with known kd."""
     theta_true = renderer.compiled.initial_theta()

@@ -55,6 +55,50 @@ def test_sppm_matches_path_tracer():
     np.testing.assert_allclose(bright_s, bright_p, rtol=0.05)
 
 
+GLOSSY_BOX = BOX.replace(
+    'Material "matte" "rgb Kd" [0.7 0.7 0.7]',
+    'Material "plastic" "rgb Kd" [0.5 0.5 0.5] "rgb Ks" [0.4 0.4 0.4]'
+    ' "float roughness" 0.2',
+)
+
+
+def test_sppm_glossy_gather_matches_path_tracer():
+    """Non-matte scenes route through the full-BSDF photon gather
+    (f(wo, wi_photon) per photon, pbrt sppm.cpp Phi) instead of the
+    Lambertian kd/pi shortcut; radiance must still agree with the
+    unidirectional path tracer."""
+    from pbrt_tpu.integrators.sppm import SPPMIntegrator
+    from pbrt_tpu.scene.builder import build_scene
+
+    def render_g(integ, extra=""):
+        api = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)
+        api.init()
+        api.parse_string(GLOSSY_BOX.format(integ=integ, extra=extra))
+        return api
+
+    api = render_g(
+        "sppm", '"integer numiterations" 24 "integer photonsperiteration" 16384'
+    )
+    compiled = build_scene(api.scene, api.opt)
+    assert SPPMIntegrator(compiled)._gather_full_bsdf, (
+        "plastic scene must select the full-BSDF gather"
+    )
+    # matte-only scene keeps the exact Lambertian shortcut
+    api_m = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)
+    api_m.init()
+    api_m.parse_string(BOX.format(integ="sppm", extra=""))
+    assert not SPPMIntegrator(build_scene(api_m.scene, api_m.opt))._gather_full_bsdf
+
+    sppm_img = render_scene(api.scene, api.opt, write=False)["image"]
+    api_p = render_g("path")
+    path_img = render_scene(api_p.scene, api_p.opt, write=False)["image"]
+    assert np.isfinite(sppm_img).all()
+    s = sppm_img[14:22, 6:18].mean()
+    p = path_img[14:22, 6:18].mean()
+    assert s > 0.01
+    np.testing.assert_allclose(s, p, rtol=0.30)
+
+
 def test_bdpt_matches_path_tracer():
     path_img = render("path")
     api = PbrtAPI(Options(ray_batch=24 * 24 * 32), render_on_world_end=False)

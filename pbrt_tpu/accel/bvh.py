@@ -41,6 +41,12 @@ from pbrt_tpu.ops.intersect_soa import SoABruteForceIntersector
 
 LEAF_SIZE = 4
 
+# above this triangle count the accelerator path uses the two-level
+# streaming kernel (ops/stream_bvh.py) — clusters live in HBM, the Pallas
+# pipeline DMAs candidates into VMEM; below it the whole packed tree fits
+# comfortably on-chip (ops/pallas_bvh.py)
+STREAM_MIN_TRIS = 4096
+
 
 def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
     """BVH build; returns (node arrays, prim permutation).
@@ -156,17 +162,26 @@ class BVHIntersector:
             )
             self.perm = jnp.asarray(perm.astype(np.int32))
             self.leaf_size = leaf_size
-            # packed-tile cost: one 512B row per interior node + per leaf
-            n_leaves = int((counts > 0).sum())
-            vmem_bytes = (len(mins) - n_leaves) * 512 + n_leaves * 512
-            if use_pallas and vmem_bytes < 12 * 1024 * 1024:
-                from pbrt_tpu.ops.pallas_bvh import PallasBVH2
+            if use_pallas:
+                if self.n_tri >= STREAM_MIN_TRIS:
+                    # two-level streaming path: top-level cluster culling in
+                    # XLA, per-cluster tables DMA'd HBM->VMEM by the Pallas
+                    # pipeline — no whole-tree VMEM wall (ops/stream_bvh.py)
+                    from pbrt_tpu.ops.stream_bvh import StreamBVH
 
-                self._pallas = PallasBVH2(
-                    mins, maxs, skips, firsts, counts,
-                    tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
-                    interpret=pallas_interpret,
-                )
+                    self._pallas = StreamBVH(
+                        mins, maxs, skips, firsts, counts,
+                        tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
+                        interpret=pallas_interpret,
+                    )
+                else:
+                    from pbrt_tpu.ops.pallas_bvh import PallasBVH2
+
+                    self._pallas = PallasBVH2(
+                        mins, maxs, skips, firsts, counts,
+                        tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
+                        interpret=pallas_interpret,
+                    )
                 # fold slot -> permuted-prim into the original-id map so hit
                 # ids resolve with the single existing gather
                 self.perm = jnp.asarray(
@@ -190,8 +205,14 @@ class BVHIntersector:
         v = (v | (v << 2)) & jnp.uint32(0x09249249)
         return v
 
-    def _sort_keys(self, o, d):
-        """Direction-octant (high bits) + origin Morton code (low bits)."""
+    def _sort_keys(self, o, d, t_max=None):
+        """Dead bit (top) + direction octant + origin Morton code.
+
+        Lanes whose ``t_max`` is already spent (terminated wavefront lanes,
+        failed shadow candidates) sort into their own trailing packets;
+        an all-dead packet exits traversal after one root test, so bounce
+        compaction falls out of the sort instead of a gather/scatter pass.
+        """
         octant = (
             (d[..., 0] < 0).astype(jnp.uint32) * 4
             + (d[..., 1] < 0).astype(jnp.uint32) * 2
@@ -206,11 +227,15 @@ class BVHIntersector:
             | (self._part1by2(qi[..., 1]) << 1)
             | (self._part1by2(qi[..., 2]) << 2)
         )
-        return (octant << 27) | (morton & jnp.uint32(0x07FFFFFF))
+        key = (octant << 27) | (morton & jnp.uint32(0x07FFFFFF))
+        if t_max is not None:
+            dead = (t_max <= RAY_EPS).astype(jnp.uint32)
+            key = key | (dead << 31)
+        return key
 
     def _traverse_pallas_sorted(self, o, d, t_max, any_hit):
         """Sort rays for packet coherence, run the Pallas kernel, unsort."""
-        keys = self._sort_keys(o, d)
+        keys = self._sort_keys(o, d, t_max)
         order = jnp.argsort(keys)
         inv = jnp.argsort(order)
         t, prim, b0, b1 = self._pallas.traverse(

@@ -184,7 +184,11 @@ class PathIntegrator:
         dt = o.dtype
         if True:
             base = 5 + 7 * bounce
-            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
+            # dead lanes trace with t_max=0: the sorted Pallas path groups
+            # them into packets that terminate at the root test (wavefront
+            # compaction without a gather/scatter pass)
+            t_far = jnp.where(alive, INF_T, 0.0).astype(dt)
+            hit = c.intersector.intersect(o, d, t_far)
 
             # --- escaped rays: environment radiance with MIS -------------
             esc = alive & ~hit["hit"]
@@ -241,7 +245,8 @@ class PathIntegrator:
                     jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
                 )
                 occluded = c.intersector.occluded(
-                    shadow_o, wi_w, l_dist - 2 * SHADOW_EPS
+                    shadow_o, wi_w,
+                    jnp.where(can, l_dist - 2 * SHADOW_EPS, 0.0),
                 )
                 vis = can & ~occluded
                 w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))

@@ -1,0 +1,537 @@
+"""Two-level streaming BVH: VMEM top level, HBM-resident clusters.
+
+Breaks the whole-tree-in-VMEM wall (the old ``accel/bvh.py`` 12MB guard):
+the SAH tree is cut at subtree boundaries into clusters of at most
+``target_tris`` triangles (cuts are subtrees, so every cluster is
+spatially tight and owns a *contiguous* range of the DFS-permuted
+triangle array).  Each cluster is packed in the (8,128)-native layout of
+``ops/pallas_bvh.py`` and lives in HBM; a wavefront intersection is two
+phases:
+
+  A (XLA): every 1024-ray block slab-tests the C cluster bounds ->
+     per-block candidate list sorted by packet entry distance (near
+     clusters first, so ``best_t`` from early clusters culls late ones).
+  B (Pallas): grid ``(block, k)``; the k-th candidate cluster's node and
+     triangle tables are DMA'd HBM->VMEM by the Pallas pipeline itself —
+     a ``PrefetchScalarGridSpec`` index map reads the candidate list, so
+     cluster fetches are double-buffered across grid steps and repeated /
+     padded entries skip the DMA entirely.  The hit record (t, prim, b0,
+     b1) lives in the revisited output block across all k steps of a ray
+     block.
+
+This replaces the reference's never-built "bvh" accelerator default
+(/root/reference/src/core/api.rs:237) at the scale its BASELINE config 5
+(1M triangles) demands, and it is also the fast path *below* the wall:
+within a <=``target_tris`` cluster the speculative packet walk touches a
+bounded, cache-hot subtree instead of the whole scene (the treelet
+binning that stream tracers use on wide-SIMD machines).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pbrt_tpu.ops.intersect import RAY_EPS
+from pbrt_tpu.ops.pallas_bvh import (
+    BLOCK,
+    BLOCK_LANE,
+    BLOCK_SUB,
+    _DONE,
+    _LEAF_COUNT_BITS,
+    _LEAF_SLOTS,
+    _STACK_DEPTH,
+    _encode_children,
+)
+
+
+def _safe_inv(v):
+    sign = jnp.where(v < 0.0, -1.0, 1.0)
+    return jnp.clip(sign / jnp.maximum(jnp.abs(v), 1e-20), -1e30, 1e30)
+
+
+# ---------------------------------------------------------------------------
+# Host: cluster cut + packing
+# ---------------------------------------------------------------------------
+
+
+def split_clusters(skips, firsts, counts, n_prims, target):
+    """Cut the DFS skip-link tree into subtree clusters of <= target prims.
+
+    Returns a list of (root_node, prim_lo, prim_hi).  DFS order => every
+    subtree's primitives are a contiguous slice of the permuted array and
+    the clusters partition [0, n_prims).
+    """
+    skips = np.asarray(skips)
+    firsts = np.asarray(firsts)
+    counts = np.asarray(counts)
+    m = len(skips)
+    # prim_lo[i] = first prim under node i = firsts of the first DFS leaf
+    # at-or-after i (the last DFS node is always a leaf)
+    vals = np.where(counts > 0, firsts.astype(np.int64), -1)
+    brev = vals[::-1]
+    pos = np.maximum.accumulate(np.where(brev >= 0, np.arange(m), -1))
+    prim_lo = np.empty(m + 1, dtype=np.int64)
+    prim_lo[:m] = brev[pos][::-1]
+    prim_lo[m] = n_prims
+
+    out = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        lo, hi = prim_lo[i], prim_lo[skips[i]]
+        if counts[i] > 0 or hi - lo <= target:
+            out.append((int(i), int(lo), int(hi)))
+        else:
+            left = i + 1
+            stack.append(int(skips[left]))  # right child (popped second)
+            stack.append(int(left))
+    return out
+
+
+def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2):
+    """Pack one skip-link (sub)tree into the kernel layout (vectorized).
+
+    Returns (nodes_f [ni,16] f32, tris [n_leaves,128] f32, root i32,
+    slot_to_prim [n_leaves*8] i64 — local prim index per packed slot,
+    0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs are
+    negative ``-(first*2^6 + count + 1)`` with ``first`` 8-aligned, node
+    rows hold both children's boxes + refs + per-octant near-first bits.
+    """
+    counts = np.asarray(counts)
+    firsts = np.asarray(firsts)
+    skips = np.asarray(skips)
+    assert counts.max(initial=0) <= _LEAF_SLOTS, "leaf_size must be <= 8"
+    leaf_nodes = np.nonzero(counts > 0)[0]
+    n_leaves = max(len(leaf_nodes), 1)
+    tris = np.zeros((n_leaves, 128), dtype=np.float32)
+    slot_to_prim = np.zeros((n_leaves * _LEAF_SLOTS,), dtype=np.int64)
+    padded_firsts = np.zeros_like(firsts)
+    if len(leaf_nodes):
+        lrow = np.arange(len(leaf_nodes))
+        padded_firsts[leaf_nodes] = lrow * _LEAF_SLOTS
+        f = firsts[leaf_nodes].astype(np.int64)
+        cnt = counts[leaf_nodes].astype(np.int64)
+        l_ids = np.repeat(lrow, _LEAF_SLOTS)
+        s_ids = np.tile(np.arange(_LEAF_SLOTS), len(leaf_nodes))
+        valid = s_ids < cnt[l_ids]
+        prim = f[l_ids] + s_ids
+        slot_to_prim[l_ids * _LEAF_SLOTS + s_ids] = np.where(valid, prim, 0)
+        lv, sv, pv = l_ids[valid], s_ids[valid], prim[valid]
+        for c in range(3):
+            tris[lv, 16 * sv + 0 + c] = p0[pv, c]
+            tris[lv, 16 * sv + 3 + c] = p1[pv, c]
+            tris[lv, 16 * sv + 6 + c] = p2[pv, c]
+
+    if counts[0] > 0:  # whole (sub)tree is a single leaf
+        root = np.int32(
+            -(int(padded_firsts[0]) * (1 << _LEAF_COUNT_BITS) + int(counts[0]) + 1)
+        )
+        nodes_f = np.zeros((1, 16), dtype=np.float32)
+        return nodes_f, tris, root, slot_to_prim
+
+    idx, l_ref, r_ref, left, right = _encode_children(skips, padded_firsts, counts)
+    ni = len(idx)
+    nodes_f = np.zeros((ni, 16), dtype=np.float32)
+    nodes_f[:, 0:3] = mins[left]
+    nodes_f[:, 3:6] = maxs[left]
+    nodes_f[:, 6:9] = mins[right]
+    nodes_f[:, 9:12] = maxs[right]
+    nodes_f[:, 12] = l_ref.astype(np.float32)
+    nodes_f[:, 13] = r_ref.astype(np.float32)
+    assert np.abs(l_ref).max() < (1 << 24), "ref exceeds exact-f32 range"
+    assert np.abs(r_ref).max() < (1 << 24), "ref exceeds exact-f32 range"
+    # per-octant near-first bits (see PallasBVH2): along the axis where
+    # the children separate most, the lower-side child goes first iff the
+    # ray travels toward +axis
+    cl = 0.5 * (mins[left] + maxs[left])
+    cr = 0.5 * (mins[right] + maxs[right])
+    sep = np.abs(cr - cl)
+    axis = np.argmax(sep, axis=1)
+    l_lower = (
+        np.take_along_axis(cl, axis[:, None], 1)[:, 0]
+        <= np.take_along_axis(cr, axis[:, None], 1)[:, 0]
+    )
+    mask = np.zeros(ni, dtype=np.int32)
+    for o in range(8):
+        neg = (np.array([o >> 2, o >> 1, o]) & 1).astype(bool)
+        d_neg = neg[axis]
+        left_first = l_lower != d_neg
+        mask |= left_first.astype(np.int32) << o
+    nodes_f[:, 14] = mask.astype(np.float32)
+    return nodes_f, tris, np.int32(0), slot_to_prim
+
+
+# ---------------------------------------------------------------------------
+# Device: shared ordered stack walk over one (sub)tree
+# ---------------------------------------------------------------------------
+
+
+def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
+               any_hit, prim_base):
+    """Ordered near-first stack traversal of one packed tree.
+
+    ``node_row(i) -> [16]`` and ``tri_row(r) -> [128]`` read uniform rows;
+    ``best = (best_t, best_prim, b0, b1)`` is folded into and returned;
+    recorded prim ids are ``prim_base + packed_slot``.
+    """
+    ox, oy, oz, dx, dy, dz = rays
+    inv_x, inv_y, inv_z = invs
+
+    def slab(nf, base, best_t):
+        t_lo_x = (nf[base + 0] - ox) * inv_x
+        t_hi_x = (nf[base + 3] - ox) * inv_x
+        t_lo_y = (nf[base + 1] - oy) * inv_y
+        t_hi_y = (nf[base + 4] - oy) * inv_y
+        t_lo_z = (nf[base + 2] - oz) * inv_z
+        t_hi_z = (nf[base + 5] - oz) * inv_z
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t_lo_x, t_hi_x), jnp.minimum(t_lo_y, t_hi_y)),
+            jnp.minimum(t_lo_z, t_hi_z),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t_lo_x, t_hi_x), jnp.maximum(t_lo_y, t_hi_y)),
+            jnp.maximum(t_lo_z, t_hi_z),
+        )
+        hit = (t_near <= t_far) & (t_far > RAY_EPS) & (t_near < best_t)
+        return t_near, hit
+
+    def body(state):
+        ref, sp, best_t, best_prim, b0a, b1a = state
+        is_leaf = ref < 0
+
+        def leaf_branch(carry):
+            best_t, best_prim, b0a, b1a = carry
+            code = -ref - 1
+            first = code >> _LEAF_COUNT_BITS
+            count = code & ((1 << _LEAF_COUNT_BITS) - 1)
+            row = tri_row(first >> 3)  # [128]: 8 slots x 16 cols
+            for k in range(_LEAF_SLOTS):
+                pid = prim_base + first + k
+                c = 16 * k
+                p0x, p0y, p0z = row[c + 0], row[c + 1], row[c + 2]
+                e1x, e1y, e1z = row[c + 3] - p0x, row[c + 4] - p0y, row[c + 5] - p0z
+                e2x, e2y, e2z = row[c + 6] - p0x, row[c + 7] - p0y, row[c + 8] - p0z
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(
+                    jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+                )
+                tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                b0 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                b1 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    (k < count)
+                    & (jnp.abs(det) > 1e-12)
+                    & (b0 >= 0.0)
+                    & (b1 >= 0.0)
+                    & (b0 + b1 <= 1.0)
+                    & (tt > RAY_EPS)
+                    & (tt < best_t)
+                )
+                best_prim = jnp.where(ok, pid, best_prim)
+                b0a = jnp.where(ok, b0, b0a)
+                b1a = jnp.where(ok, b1, b1a)
+                best_t = jnp.where(ok, tt, best_t)
+            zero = jnp.int32(0)
+            return (zero, zero, jnp.bool_(False), jnp.bool_(True),
+                    best_t, best_prim, b0a, b1a)
+
+        def interior_branch(carry):
+            best_t, best_prim, b0a, b1a = carry
+            node = jnp.maximum(ref, 0)
+            nf = node_row(node)
+            tn_l, hit_l = slab(nf, 0, best_t)
+            tn_r, hit_r = slab(nf, 6, best_t)
+            any_l = jnp.any(hit_l)
+            any_r = jnp.any(hit_r)
+            l_ref = nf[12].astype(jnp.int32)
+            r_ref = nf[13].astype(jnp.int32)
+            left_first = ((nf[14].astype(jnp.int32) >> octant) & 1) == 1
+            near = jnp.where(left_first, l_ref, r_ref)
+            far = jnp.where(left_first, r_ref, l_ref)
+            both = any_l & any_r
+            nxt = jnp.where(both, near, jnp.where(any_l, l_ref, r_ref))
+            need_pop = jnp.logical_not(any_l | any_r)
+            return (jnp.where(need_pop, 0, nxt).astype(jnp.int32),
+                    far.astype(jnp.int32),
+                    both, need_pop, best_t, best_prim, b0a, b1a)
+
+        nxt, far, do_push, need_pop, best_t, best_prim, b0a, b1a = jax.lax.cond(
+            is_leaf, leaf_branch, interior_branch, (best_t, best_prim, b0a, b1a)
+        )
+
+        @pl.when(do_push)
+        def _():
+            stack_ref[jnp.minimum(sp, _STACK_DEPTH - 1)] = far
+
+        sp = sp + do_push.astype(jnp.int32)
+        popped = stack_ref[jnp.maximum(sp - 1, 0)]
+        empty = sp <= 0
+        nxt = jnp.where(need_pop, jnp.where(empty, _DONE, popped), nxt)
+        sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
+        if any_hit:
+            nxt = jnp.where(jnp.all(best_prim >= 0), _DONE, nxt)
+        return nxt, sp, best_t, best_prim, b0a, b1a
+
+    def cond(state):
+        return state[0] != _DONE
+
+    init = (root, jnp.int32(0)) + tuple(best)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[2], out[3], out[4], out[5]
+
+
+def _stream_kernel(cl_ref, cn_ref, rt_ref,
+                   nodes_ref, tris_ref,
+                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                   t_out, prim_out, b0_out, b1_out,
+                   stack_ref,
+                   *, any_hit: bool, slots_per_cluster: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        t_out[...] = tmax_ref[...]
+        prim_out[...] = jnp.full(prim_out.shape, -1, jnp.int32)
+        b0_out[...] = jnp.zeros(b0_out.shape, jnp.float32)
+        b1_out[...] = jnp.zeros(b1_out.shape, jnp.float32)
+
+    b = pl.program_id(0)
+    active = k < cn_ref[b]
+    if any_hit:
+        active = jnp.logical_and(
+            active, jnp.logical_not(jnp.all(prim_out[...] >= 0))
+        )
+
+    @pl.when(active)
+    def _():
+        cid = cl_ref[b, k]
+        root = rt_ref[cid]
+        prim_base = cid * slots_per_cluster
+        ox = ox_ref[...]
+        oy = oy_ref[...]
+        oz = oz_ref[...]
+        dx = dx_ref[...]
+        dy = dy_ref[...]
+        dz = dz_ref[...]
+        invs = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
+        # rays are pre-sorted by direction octant, so one representative
+        # octant picks the near child for the whole packet
+        octant = (
+            (dx[0, 0] < 0).astype(jnp.int32) * 4
+            + (dy[0, 0] < 0).astype(jnp.int32) * 2
+            + (dz[0, 0] < 0).astype(jnp.int32)
+        )
+        best = (t_out[...], prim_out[...], b0_out[...], b1_out[...])
+        best = _walk_tree(
+            lambda i: nodes_ref[0, i],
+            lambda r: tris_ref[0, r],
+            root, (ox, oy, oz, dx, dy, dz), invs, octant, best,
+            stack_ref, any_hit, prim_base,
+        )
+        t_out[...], prim_out[...], b0_out[...], b1_out[...] = best
+
+
+class StreamBVH:
+    """HBM-scale intersector: top-level cluster culling + streamed walks.
+
+    Same ``traverse`` interface as ``PallasBVH2``; accepts any triangle
+    count — VMEM holds only the two in-flight clusters, not the scene.
+    """
+
+    def __init__(self, mins, maxs, skips, firsts, counts,
+                 tri_p0, tri_p1, tri_p2,
+                 target_tris: int | None = None, interpret: bool = False):
+        n_prims = len(tri_p0)
+        if target_tris is None:
+            target_tris = int(min(8192, max(1024, n_prims // 64)))
+        clusters = split_clusters(skips, firsts, counts, n_prims, target_tris)
+        skips = np.asarray(skips)
+        firsts = np.asarray(firsts)
+        counts = np.asarray(counts)
+
+        packs = []
+        for (i, lo, hi) in clusters:
+            sl = slice(i, int(skips[i]))
+            packs.append(
+                _pack_tree(
+                    mins[sl], maxs[sl], skips[sl] - i, firsts[sl] - lo,
+                    counts[sl], tri_p0[lo:hi], tri_p1[lo:hi], tri_p2[lo:hi],
+                )
+            )
+
+        c = len(packs)
+        nodes_pad = max(8, -(-max(p[0].shape[0] for p in packs) // 8) * 8)
+        leaves_pad = max(8, -(-max(p[1].shape[0] for p in packs) // 8) * 8)
+        all_nodes = np.zeros((c, nodes_pad, 16), dtype=np.float32)
+        all_tris = np.zeros((c, leaves_pad, 128), dtype=np.float32)
+        roots = np.zeros((c,), dtype=np.int32)
+        self.slots_per_cluster = leaves_pad * _LEAF_SLOTS
+        slot_to_prim = np.zeros((c * self.slots_per_cluster,), dtype=np.int64)
+        for ci, ((i, lo, hi), (nf, tr, root, s2p)) in enumerate(zip(clusters, packs)):
+            all_nodes[ci, : nf.shape[0]] = nf
+            all_tris[ci, : tr.shape[0]] = tr
+            roots[ci] = root
+            base = ci * self.slots_per_cluster
+            slot_to_prim[base : base + len(s2p)] = s2p + lo
+
+        self.n_clusters = c
+        self.n_tris = n_prims
+        self.nodes = jnp.asarray(all_nodes)
+        self.tris = jnp.asarray(all_tris)
+        self.roots = jnp.asarray(roots)
+        self.cl_min = jnp.asarray(
+            np.stack([mins[i] for (i, _, _) in clusters]).astype(np.float32)
+        )
+        self.cl_max = jnp.asarray(
+            np.stack([maxs[i] for (i, _, _) in clusters]).astype(np.float32)
+        )
+        self.slot_to_prim = slot_to_prim
+        self.slot_to_prim_j = jnp.asarray(slot_to_prim.astype(np.int32))
+        self.interpret = interpret
+        self._nodes_pad = nodes_pad
+        self._leaves_pad = leaves_pad
+        # VMEM working set: 2x double-buffered (nodes + tris) blocks; the
+        # minor dims pad to the 128-lane tile
+        self.vmem_bytes = 2 * (nodes_pad * 128 * 4 + leaves_pad * 128 * 4)
+
+    # -- phase A: per-block candidate clusters -----------------------------
+
+    def _candidates(self, o, d, t_max):
+        """o,d [N,3] / t_max [N] with N a BLOCK multiple (rays pre-sorted).
+
+        Returns (clist [B, C] i32 sorted by packet entry t with trailing
+        entries clamped to the last valid — repeats skip their DMA — and
+        counts [B] i32)."""
+        n = o.shape[0]
+        b = n // BLOCK
+        cmin, cmax = self.cl_min, self.cl_max
+
+        def step(_, xs):
+            ob, db, tb = xs
+            inv = _safe_inv(db)
+            t_lo = (cmin[None] - ob[:, None, :]) * inv[:, None, :]
+            t_hi = (cmax[None] - ob[:, None, :]) * inv[:, None, :]
+            tn = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+            tf = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+            hit = (tn <= tf) & (tf > RAY_EPS) & (tn < tb[:, None])
+            any_h = jnp.any(hit, axis=0)
+            t_ent = jnp.min(jnp.where(hit, tn, jnp.inf), axis=0)
+            return None, (any_h, t_ent)
+
+        _, (hits, t_ent) = jax.lax.scan(
+            step, None,
+            (
+                o.reshape(b, BLOCK, 3),
+                d.reshape(b, BLOCK, 3),
+                jnp.broadcast_to(t_max, (n,)).reshape(b, BLOCK),
+            ),
+        )
+        key = jnp.where(hits, t_ent, jnp.inf)
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        cnt = hits.sum(axis=1).astype(jnp.int32)
+        kk = jnp.arange(self.n_clusters, dtype=jnp.int32)[None]
+        clamped = jnp.minimum(kk, jnp.maximum(cnt[:, None] - 1, 0))
+        clist = jnp.take_along_axis(order, clamped, axis=1)
+        return clist, cnt
+
+    # -- phase B: streamed traversal ---------------------------------------
+
+    def traverse(self, o, d, t_max, any_hit=False, remap=True):
+        """o, d: [N,3]; t_max: [N].  Returns (t, prim, b0, b1).
+
+        ``remap=False`` returns raw cluster-slot ids (callers that fold
+        ``slot_to_prim`` into their own prim permutation)."""
+        n = o.shape[0]
+        t_max = jnp.broadcast_to(t_max, (n,))
+        pad = (-n) % BLOCK
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        total = n + pad
+        g = total // BLOCK
+
+        clist, cnts = self._candidates(o, d, t_max)
+
+        def comp(x):
+            return x.reshape(g * BLOCK_SUB, BLOCK_LANE).astype(jnp.float32)
+
+        shape = (g * BLOCK_SUB, BLOCK_LANE)
+        ray_spec = pl.BlockSpec(
+            (BLOCK_SUB, BLOCK_LANE),
+            lambda b, k, cl, cn, rt: (b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(g, self.n_clusters),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, self._nodes_pad, 16),
+                    lambda b, k, cl, cn, rt: (cl[b, k], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, self._leaves_pad, 128),
+                    lambda b, k, cl, cn, rt: (cl[b, k], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + [ray_spec] * 7,
+            out_specs=tuple(
+                pl.BlockSpec(
+                    (BLOCK_SUB, BLOCK_LANE),
+                    lambda b, k, cl, cn, rt: (b, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(4)
+            ),
+            scratch_shapes=[pltpu.SMEM((_STACK_DEPTH,), jnp.int32)],
+        )
+        kernel = functools.partial(
+            _stream_kernel,
+            any_hit=any_hit,
+            slots_per_cluster=self.slots_per_cluster,
+        )
+        t_r, prim_r, b0_r, b1_r = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.int32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+                jax.ShapeDtypeStruct(shape, jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(
+            clist, cnts, self.roots,
+            self.nodes, self.tris,
+            comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
+            comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
+            comp(t_max),
+        )
+
+        def flat(x):
+            return x.reshape(-1)[:n]
+
+        t_r, prim_r, b0_r, b1_r = flat(t_r), flat(prim_r), flat(b0_r), flat(b1_r)
+        if remap:
+            prim_r = jnp.where(
+                prim_r >= 0,
+                self.slot_to_prim_j[jnp.maximum(prim_r, 0)],
+                prim_r,
+            )
+        return t_r.astype(o.dtype), prim_r, b0_r.astype(o.dtype), b1_r.astype(o.dtype)

@@ -41,8 +41,17 @@ from pbrt_tpu.ops.intersect import RAY_EPS
 INF_T = 1e8
 
 
-def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int):
-    """Pad + split triangle SoA into [n_shards, T/n_shards, ...] arrays."""
+def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
+                          bvh: bool = False):
+    """Pad + split triangle SoA into [n_shards, T/n_shards, ...] arrays.
+
+    ``bvh=True`` additionally builds a **per-shard BVH** (native binned
+    SAH, accel/bvh.py) and reorders each shard's triangles into its BVH's
+    DFS-leaf order, adding node arrays ``bvh_min/bvh_max [S, M, 3]``,
+    ``bvh_skip/bvh_first/bvh_count [S, M]`` and node counts ``nn [S]`` —
+    the production formulation for BASELINE config 5 (1M-triangle scenes
+    sharded over tp), replacing the O(rays x tris) brute sweep.
+    """
     t = tri_data.count
     per = -(-t // n_shards)
     total = per * n_shards
@@ -60,7 +69,7 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int):
             a = np.concatenate([a, padding])
         return a.reshape(n_shards, per, *a.shape[1:])
 
-    return {
+    out = {
         "p0": pad(tri_data.p0.astype(float_t)),
         "p1": pad(tri_data.p1.astype(float_t)),
         "p2": pad(tri_data.p2.astype(float_t)),
@@ -75,13 +84,155 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int):
         "valid": pad(np.ones(t, dtype=bool), fill=False),
         "gid": pad(np.arange(t, dtype=np.int32), fill=2**30),
     }
+    if not bvh:
+        return out
+
+    from pbrt_tpu.accel.bvh import build_bvh
+
+    per_prim_keys = [k for k in out if k not in ()]
+    mins_l, maxs_l, skips_l, firsts_l, counts_l, nns = [], [], [], [], [], []
+    for s in range(n_shards):
+        v = int(out["valid"][s].sum())
+        if v == 0:
+            mins_l.append(np.zeros((1, 3), np.float32))
+            maxs_l.append(np.full((1, 3), -1.0, np.float32))
+            skips_l.append(np.ones(1, np.int32))
+            firsts_l.append(np.zeros(1, np.int32))
+            counts_l.append(np.zeros(1, np.int32))
+            nns.append(0)
+            continue
+        mins, maxs, skips, firsts, counts, perm = build_bvh(
+            out["p0"][s][:v], out["p1"][s][:v], out["p2"][s][:v], _SHARD_LEAF
+        )
+        order = np.concatenate([perm, np.arange(v, per)])
+        for k in per_prim_keys:
+            out[k][s] = out[k][s][order]
+        mins_l.append(mins)
+        maxs_l.append(maxs)
+        skips_l.append(skips)
+        firsts_l.append(firsts)
+        counts_l.append(counts)
+        nns.append(len(mins))
+
+    m_pad = max(8, max(len(m) for m in mins_l))
+
+    def pad_nodes(arrs, fill, dtype):
+        res = np.full((n_shards, m_pad) + arrs[0].shape[1:], fill, dtype=dtype)
+        for s, a in enumerate(arrs):
+            res[s, : len(a)] = a
+        return res
+
+    out["bvh_min"] = pad_nodes(mins_l, np.inf, np.float32)
+    out["bvh_max"] = pad_nodes(maxs_l, -np.inf, np.float32)
+    out["bvh_skip"] = pad_nodes(skips_l, m_pad, np.int32)
+    out["bvh_first"] = pad_nodes(firsts_l, 0, np.int32)
+    out["bvh_count"] = pad_nodes(counts_l, 0, np.int32)
+    out["nn"] = np.asarray(nns, dtype=np.int32)
+    return out
+
+
+# leaf size used by the per-shard BVHs (static: unrolls the leaf tests)
+_SHARD_LEAF = 4
+
+
+def _local_bvh_hit(shard, o, d, t_max):
+    """Skip-link BVH closest hit over this device's slice (XLA while_loop).
+
+    Lexicographic (t, gid) tie-break inside the walk, so the winner is
+    invariant to which shard (and hence which traversal order) tests a
+    triangle — required for shard-count-invariant images.
+    Returns (t [N], local_idx [N], b0, b1) like :func:`local_closest_hit`.
+    """
+    nmin, nmax = shard["bvh_min"], shard["bvh_max"]
+    skip, first, count = shard["bvh_skip"], shard["bvh_first"], shard["bvh_count"]
+    nn = shard["nn"][0]
+    p0s, p1s, p2s = shard["p0"], shard["p1"], shard["p2"]
+    gids = shard["gid"]
+    valids = shard["valid"]
+    n = o.shape[0]
+    m = nmin.shape[0]
+    t_tot = p0s.shape[0]
+
+    def safe_inv(v):
+        sign = jnp.where(v < 0.0, -1.0, 1.0)
+        return jnp.clip(sign / jnp.maximum(jnp.abs(v), 1e-20), -1e30, 1e30)
+
+    inv = safe_inv(d)
+
+    def cond(st):
+        return jnp.any(st[0] < nn)
+
+    def body(st):
+        node, bt, bi, bg, b0c, b1c = st
+        active = node < nn
+        ni = jnp.minimum(node, m - 1)
+        t0 = (nmin[ni] - o) * inv
+        t1 = (nmax[ni] - o) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        box_hit = active & (tn <= tf) & (tf > RAY_EPS) & (tn < bt)
+        cnt = count[ni]
+        is_leaf = cnt > 0
+        fst = first[ni]
+        for k in range(_SHARD_LEAF):
+            pid = jnp.minimum(fst + k, t_tot - 1)
+            ok0 = box_hit & is_leaf & (k < cnt) & valids[pid]
+            p0, p1, p2 = p0s[pid], p1s[pid], p2s[pid]
+            e1 = p1 - p0
+            e2 = p2 - p0
+            pv = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pv, axis=-1)
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tv = o - p0
+            b0 = jnp.sum(tv * pv, axis=-1) * inv_det
+            qv = jnp.cross(tv, e1)
+            b1 = jnp.sum(d * qv, axis=-1) * inv_det
+            tt = jnp.sum(e2 * qv, axis=-1) * inv_det
+            g = gids[pid]
+            better = (tt < bt) | ((tt == bt) & (g < bg))
+            ok = (
+                ok0
+                & (jnp.abs(det) > 1e-12)
+                & (b0 >= 0.0)
+                & (b1 >= 0.0)
+                & (b0 + b1 <= 1.0)
+                & (tt > RAY_EPS)
+                & better
+            )
+            bi = jnp.where(ok, pid, bi)
+            bg = jnp.where(ok, g, bg)
+            b0c = jnp.where(ok, b0, b0c)
+            b1c = jnp.where(ok, b1, b1c)
+            bt = jnp.where(ok, tt, bt)
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, ni + 1, skip[ni])
+        nxt = jnp.where(active, nxt, nn)
+        return nxt, bt, bi, bg, b0c, b1c
+
+    init = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.broadcast_to(t_max, (n,)).astype(o.dtype),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), 2**30, jnp.int32),
+        jnp.zeros((n,), o.dtype),
+        jnp.zeros((n,), o.dtype),
+    )
+    _, bt, bi, _, b0c, b1c = jax.lax.while_loop(cond, body, init)
+    return bt, bi, b0c, b1c
 
 
 def local_closest_hit(shard, o, d, t_max, chunk=256):
     """Closest hit of rays [N] against this device's triangle slice.
 
     Returns (t [N], local_idx [N], b0, b1); t = t_max when missed.
+    Dispatches to the per-shard BVH walk when the shard tables carry one
+    (``shard_triangle_arrays(..., bvh=True)``); the brute sweep remains
+    the reference formulation.
     """
+    if "bvh_skip" in shard:
+        return _local_bvh_hit(shard, o, d, t_max)
     p0s, p1s, p2s = shard["p0"], shard["p1"], shard["p2"]
     t_total = p0s.shape[0]
     chunk = min(chunk, t_total)
@@ -297,9 +448,23 @@ def ring_closest_hit(shard, o, d, t_max, tp_size: int, axis="tp"):
 # ---------------------------------------------------------------------------
 
 
+def _shard_specs(tp_axis, bvh, P):
+    """PartitionSpec dict matching shard_triangle_arrays' key set."""
+    spec = {k: P(tp_axis, None) for k in (
+        "p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2"
+    )}
+    spec.update({k: P(tp_axis) for k in ("mat", "light", "valid", "gid")})
+    if bvh:
+        spec.update({k: P(tp_axis, None) for k in ("bvh_min", "bvh_max")})
+        spec.update(
+            {k: P(tp_axis) for k in ("bvh_skip", "bvh_first", "bvh_count", "nn")}
+        )
+    return spec
+
+
 def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
                          max_depth=3, dp_axis="dp", tp_axis="tp",
-                         formulation="allreduce"):
+                         formulation="allreduce", bvh=False):
     """Builds a jitted SPMD render step over a (dp, tp) mesh.
 
     Inputs at call time: (state, shard_tables_local?, pixels, sidx) — the
@@ -377,16 +542,118 @@ def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
             partial = jax.tree_util.tree_map(lambda x: x / tp_size, partial)
         return jax.tree_util.tree_map(jnp.add, state, partial)
 
-    shard_spec = {k: P(tp_axis, None) for k in (
-        "p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2"
-    )}
-    shard_spec.update({k: P(tp_axis) for k in ("mat", "light", "valid", "gid")})
+    shard_spec = _shard_specs(tp_axis, bvh, P)
     ray_axes = (dp_axis, tp_axis) if formulation == "ring" else dp_axis
     fn = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(), shard_spec, P(ray_axes, None), P(ray_axes)),
         out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def make_sharded_grad_fn(mesh, camera, sampler, film, target,
+                         max_depth=3, dp_axis="dp", tp_axis="tp", bvh=False,
+                         remat=True):
+    """Jitted loss+gradient step with geometry sharded over tp: the
+    path-replay inverse-rendering formulation of BASELINE config 5.
+
+    Differentiable parameters theta = {"kd": [M,3], "env_l": [3]}; the
+    forward wavefront is the same matte harness as
+    :func:`make_sharded_path_fn` (allreduce formulation) with each bounce
+    wrapped in ``jax.checkpoint`` — reverse mode *replays* the bounce
+    (re-intersecting with its deterministic samples) instead of storing
+    wavefront state, and the resulting parameter gradients are psum'd over
+    (dp, tp).  Returns ``fn(theta, shard, pixels, sidx) -> (loss, grads)``.
+    """
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pbrt_tpu.core.geometry import coordinate_system, vface_forward
+    from pbrt_tpu.core.sampling import cosine_sample_hemisphere
+
+    target = jnp.asarray(target)
+
+    def radiance(theta, shard, pixel_xy, sidx):
+        n = pixel_xy.shape[0]
+        u_film = sampler.get2(pixel_xy, sidx, 0)
+        p_film = pixel_xy.astype(float_t) + u_film
+        o, d, w = camera.generate_rays(p_film, sampler.get2(pixel_xy, sidx, 2))
+        carry = (
+            jnp.zeros((n, 3), dtype=float_t),
+            jnp.ones((n, 3), dtype=float_t),
+            jnp.ones((n,), dtype=bool),
+            o,
+            d,
+        )
+
+        def bounce_body(bounce, carry):
+            L, beta, alive, o, d = carry
+            t_l, idx_l, b0, b1 = local_closest_hit(
+                shard, o, d, jnp.where(alive, INF_T, 0.0).astype(float_t)
+            )
+            hit = allreduce_closest(shard, t_l, idx_l, b0, b1, tp_axis)
+            esc = alive & ~hit["hit"]
+            L = L + jnp.where(esc[..., None], beta * theta["env_l"], 0.0)
+            alive = alive & hit["hit"]
+            si = interaction_from_reduced(hit, o, d)
+            if bounce == max_depth - 1:
+                return L, beta, alive, o, d
+            ns = vface_forward(si["ns"], si["wo"])
+            ss, ts = coordinate_system(ns)
+            kd = theta["kd"][jnp.clip(si["mat"], 0, theta["kd"].shape[0] - 1)]
+            u2 = sampler.get2(pixel_xy, sidx, 5 + 3 * bounce)
+            wi_local = cosine_sample_hemisphere(u2)
+            wi = (
+                wi_local[..., 0:1] * ss
+                + wi_local[..., 1:2] * ts
+                + wi_local[..., 2:3] * ns
+            )
+            beta = jnp.where(alive[..., None], beta * kd, beta)
+            return L, beta, alive, si["p"] + ns * 1e-3, wi
+
+        for bounce in range(max_depth):
+            body = lambda c, b=bounce: bounce_body(b, c)
+            if remat:
+                body = jax.checkpoint(body)
+            carry = body(carry)
+        L = carry[0]
+        return jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None], p_film
+
+    def local_loss(theta, shard, pixel_xy, sidx):
+        L, p_film = radiance(theta, shard, pixel_xy, sidx)
+        pix = jnp.clip(
+            p_film.astype(jnp.int32),
+            0,
+            jnp.asarray(target.shape[:2][::-1], jnp.int32) - 1,
+        )
+        want = target[pix[..., 1], pix[..., 0]]
+        # tp replicas trace identical rays: average, don't double count
+        per_lane = jnp.sum((L - want) ** 2, axis=-1) / mesh.shape[tp_axis]
+        return jax.lax.psum(jnp.sum(per_lane), (dp_axis, tp_axis))
+
+    def local_step(theta, shard, pixel_xy, sidx):
+        loss, grads = jax.value_and_grad(local_loss)(theta, shard, pixel_xy, sidx)
+        # the psum in local_loss transposes to a broadcast cotangent, so
+        # each device holds only its lanes' d(loss)/d(theta) — the gradient
+        # all-reduce over the mesh completes the distributed training step
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, (dp_axis, tp_axis)), grads
+        )
+        return loss, grads
+
+    shard_spec = _shard_specs(tp_axis, bvh, P)
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), shard_spec, P(dp_axis, None), P(dp_axis)),
+        out_specs=(P(), P()),
         check_rep=False,
     )
     return jax.jit(fn)

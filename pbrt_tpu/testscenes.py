@@ -100,14 +100,19 @@ def _torus_mesh_params(nu=224, nv=112, major=1.0, minor=0.4, displace=0.08):
     pts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
     uvs = np.stack([uu / (2 * np.pi), vv / (2 * np.pi)], axis=-1).reshape(-1, 2)
 
+    # vectorized quad -> 2-triangle indices (i-major, j-minor — identical
+    # ordering to the obvious double loop; vectorized for the 1M-tri
+    # config-5 mesh where a Python loop would dominate build time)
+    gi, gj = np.meshgrid(np.arange(nu), np.arange(nv), indexing="ij")
+
     def vid(i, j):
         return (i % nu) * nv + (j % nv)
 
-    idx = []
-    for i in range(nu):
-        for j in range(nv):
-            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
-            idx.extend([a, b, c, a, c, d])
+    a = vid(gi, gj)
+    b = vid(gi + 1, gj)
+    c = vid(gi + 1, gj + 1)
+    dd = vid(gi, gj + 1)
+    idx = np.stack([a, b, c, a, c, dd], axis=-1).reshape(-1).tolist()
     ps = ParamSet()
     ps.add_int("indices", idx)
     ps.add_point3f("P", pts.astype(np.float32))
@@ -160,3 +165,16 @@ def mesh_scene_renderer(xres=256, yres=256, spp=4, maxdepth=5, ray_batch=1 << 16
     api.scene.film_params.add_int("xresolution", [xres])
     api.scene.film_params.add_int("yresolution", [yres])
     return Renderer(api.scene, api.opt, seed=seed), n_tris
+
+
+def torus_triangle_data(nu=1000, nv=500, **kw):
+    """Raw TriangleData for the displaced torus (nu*nv*2 triangles).
+
+    ``nu=1000, nv=500`` is the BASELINE config-5 scale: exactly 1M
+    triangles, used by the geometry-sharded tests/dryrun and the bench.
+    """
+    from pbrt_tpu.core.transform import Transform
+    from pbrt_tpu.shapes import make_shape
+
+    ps, _ = _torus_mesh_params(nu, nv, **kw)
+    return make_shape("trianglemesh", ps, Transform.identity(), False)

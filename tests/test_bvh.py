@@ -225,3 +225,111 @@ def test_ordered_pallas_kernel_single_leaf():
     t, prim, _, _ = k.traverse(o, d, tm)
     hb = jax.jit(brute.intersect)(o, d, tm)
     np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(prim) >= 0)
+
+
+def _brute_ref(tri, o, d, tm):
+    brute = BruteForceIntersector(tri, None)
+    return jax.jit(brute.intersect)(o, d, tm)
+
+
+def test_stream_bvh_multi_cluster_matches_brute():
+    """Two-level streaming kernel (small target_tris forces many clusters)
+    must agree with brute force in interpret mode."""
+    from pbrt_tpu.ops.stream_bvh import StreamBVH
+
+    tri = random_mesh(3000, seed=21)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(
+        tri.p0, tri.p1, tri.p2, leaf_size=8
+    )
+    k = StreamBVH(
+        mins, maxs, skips, firsts, counts,
+        tri.p0[perm], tri.p1[perm], tri.p2[perm],
+        target_tris=256, interpret=True,
+    )
+    assert k.n_clusters > 4
+    o, d = random_rays(2048, seed=22)
+    tm = jnp.full((2048,), 1e8, jnp.float32)
+    t, prim, b0, b1 = k.traverse(o, d, tm)
+    hb = _brute_ref(tri, o, d, tm)
+    hit = np.asarray(prim) >= 0
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), hit)
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[hit], np.asarray(t)[hit], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb["prim"])[hit], np.asarray(perm)[np.asarray(prim)[hit]]
+    )
+    # any-hit finds exactly the occluded set
+    _, prim_any, _, _ = k.traverse(o, d, tm, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(prim_any) >= 0, hit)
+
+
+def test_stream_bvh_single_cluster_and_dead_lanes():
+    from pbrt_tpu.ops.stream_bvh import StreamBVH
+
+    tri = random_mesh(300, seed=23)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(
+        tri.p0, tri.p1, tri.p2, leaf_size=8
+    )
+    k = StreamBVH(
+        mins, maxs, skips, firsts, counts,
+        tri.p0[perm], tri.p1[perm], tri.p2[perm],
+        target_tris=4096, interpret=True,
+    )
+    assert k.n_clusters == 1
+    o, d = random_rays(1024, seed=24)
+    tm = jnp.full((1024,), 1e8, jnp.float32)
+    # half the lanes are dead (t_max = 0): they must report no hit
+    tm = tm.at[::2].set(0.0)
+    t, prim, _, _ = k.traverse(o, d, tm)
+    assert not np.any(np.asarray(prim)[::2] >= 0)
+    hb = _brute_ref(tri, o, d, tm)
+    live = np.ones(1024, bool)
+    live[::2] = False
+    np.testing.assert_array_equal(
+        np.asarray(hb["hit"])[live], (np.asarray(prim) >= 0)[live]
+    )
+    hit_live = live & (np.asarray(prim) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[hit_live], np.asarray(t)[hit_live], rtol=1e-5
+    )
+
+
+def test_bvh_intersector_stream_path_matches_brute():
+    """Above STREAM_MIN_TRIS the accelerator routes through StreamBVH;
+    the full intersect/occluded interface must agree with brute force."""
+    tri = random_mesh(5000, seed=25)
+    bvh = BVHIntersector(tri, None, use_pallas=True, pallas_interpret=True)
+    from pbrt_tpu.ops.stream_bvh import StreamBVH
+
+    assert isinstance(bvh._pallas, StreamBVH)
+    o, d = random_rays(2048, seed=26)
+    tm = jnp.full((2048,), 1e8, jnp.float32)
+    hp = bvh.intersect(o, d, tm)
+    hb = _brute_ref(tri, o, d, tm)
+    np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(hp["hit"]))
+    m = np.asarray(hb["hit"])
+    np.testing.assert_allclose(
+        np.asarray(hb["t"])[m], np.asarray(hp["t"])[m], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb["prim"])[m], np.asarray(hp["prim"])[m]
+    )
+    ob = np.asarray(BruteForceIntersector(tri, None).occluded(o, d, jnp.full((2048,), 20.0, jnp.float32)))
+    ov = np.asarray(bvh.occluded(o, d, jnp.full((2048,), 20.0, jnp.float32)))
+    np.testing.assert_array_equal(ob, ov)
+
+
+def test_split_clusters_partitions_prims():
+    from pbrt_tpu.ops.stream_bvh import split_clusters
+
+    tri = random_mesh(2000, seed=27)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(
+        tri.p0, tri.p1, tri.p2, leaf_size=8
+    )
+    cl = split_clusters(skips, firsts, counts, 2000, 128)
+    spans = sorted((lo, hi) for (_, lo, hi) in cl)
+    assert spans[0][0] == 0 and spans[-1][1] == 2000
+    for (a, b), (c2, d2) in zip(spans, spans[1:]):
+        assert b == c2  # contiguous, non-overlapping
+    assert all(hi - lo <= 128 or counts[i] > 0 for (i, lo, hi) in cl)

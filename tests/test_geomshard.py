@@ -53,12 +53,12 @@ def build_mesh(dp, tp):
     return Mesh(devs, ("dp", "tp"))
 
 
-def render_with(dp, tp, spp=2, formulation="allreduce"):
+def render_with(dp, tp, spp=2, formulation="allreduce", bvh=False):
     td = make_scene_mesh()
     t = td.count
     mats = np.zeros(t, dtype=np.int32)
     lights = np.full(t, -1, dtype=np.int32)
-    shards = shard_triangle_arrays(td, mats, lights, tp)
+    shards = shard_triangle_arrays(td, mats, lights, tp, bvh=bvh)
     mesh = build_mesh(dp, tp)
     film = Film((16, 16), ((0, 0), (1, 1)), BoxFilter((0.5, 0.5)))
     cam = PerspectiveCamera(
@@ -68,7 +68,7 @@ def render_with(dp, tp, spp=2, formulation="allreduce"):
     kd = np.array([[0.6, 0.5, 0.4]], dtype=np.float32)
     env = np.array([0.8, 0.9, 1.0], dtype=np.float32)
     fn = make_sharded_path_fn(mesh, cam, sampler, film, kd, env, max_depth=3,
-                              formulation=formulation)
+                              formulation=formulation, bvh=bvh)
     state = film.initial_state()
     pixels = film.cropped_pixel_bounds.offsets().astype(np.int32)
     # lanes = pixels x samples, divisible by the ray-sharding factor
@@ -122,3 +122,64 @@ def test_ring_deterministic_across_meshes():
     img_c = render_with(dp=8, tp=1, formulation="ring")
     np.testing.assert_allclose(img_a, img_b, atol=2e-6)
     np.testing.assert_allclose(img_a, img_c, atol=2e-6)
+
+
+def test_bvh_shards_match_brute_shards():
+    """Per-shard BVH traversal (the config-5 production path) must produce
+    the same image as the brute-force sweep."""
+    img_brute = render_with(dp=2, tp=4)
+    img_bvh = render_with(dp=2, tp=4, bvh=True)
+    np.testing.assert_allclose(img_bvh, img_brute, atol=2e-6)
+    assert img_bvh.max() > 0.05
+
+
+def test_bvh_shards_invariant_across_meshes():
+    img_a = render_with(dp=8, tp=1, bvh=True)
+    img_b = render_with(dp=4, tp=2, bvh=True)
+    img_c = render_with(dp=2, tp=4, bvh=True)
+    np.testing.assert_allclose(img_a, img_b, atol=2e-6)
+    np.testing.assert_allclose(img_a, img_c, atol=2e-6)
+
+
+def _grad_with(dp, tp, bvh=True):
+    from pbrt_tpu.parallel.geomshard import make_sharded_grad_fn
+
+    td = make_scene_mesh()
+    t = td.count
+    mats = np.zeros(t, dtype=np.int32)
+    lights = np.full(t, -1, dtype=np.int32)
+    shards = shard_triangle_arrays(td, mats, lights, tp, bvh=bvh)
+    mesh = build_mesh(dp, tp)
+    film = Film((16, 16), ((0, 0), (1, 1)), BoxFilter((0.5, 0.5)))
+    cam = PerspectiveCamera(
+        Transform.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]).inverse(), 50.0, (16, 16)
+    )
+    sampler = HaltonSampler(2)
+    theta = {
+        "kd": jnp.asarray(np.array([[0.6, 0.5, 0.4]], dtype=np.float32)),
+        "env_l": jnp.asarray(np.array([0.8, 0.9, 1.0], dtype=np.float32)),
+    }
+    target = np.full((16, 16, 3), 0.25, dtype=np.float32)
+    fn = make_sharded_grad_fn(mesh, cam, sampler, film, target, max_depth=3,
+                              bvh=bvh)
+    pixels = film.cropped_pixel_bounds.offsets().astype(np.int32)
+    n = (len(pixels) // dp) * dp
+    flat = {k: jnp.asarray(np.reshape(v, (-1,) + v.shape[2:]))
+            for k, v in shards.items()}
+    loss, grads = fn(theta, flat, jnp.asarray(pixels[:n]),
+                     jnp.zeros((n,), dtype=jnp.uint32))
+    return float(loss), jax.tree_util.tree_map(np.asarray, grads)
+
+
+def test_sharded_gradients_invariant_and_nonzero():
+    """Path-replay gradient step (config 5): loss and parameter gradients
+    must not depend on the (dp, tp) mesh factorization, and kd/env grads
+    must actually flow."""
+    l_a, g_a = _grad_with(dp=8, tp=1)
+    l_b, g_b = _grad_with(dp=2, tp=4)
+    assert np.isfinite(l_a) and l_a > 0
+    np.testing.assert_allclose(l_a, l_b, rtol=1e-4)
+    np.testing.assert_allclose(g_a["kd"], g_b["kd"], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(g_a["env_l"], g_b["env_l"], rtol=2e-3, atol=1e-5)
+    assert np.abs(g_a["kd"]).max() > 0
+    assert np.abs(g_a["env_l"]).max() > 0

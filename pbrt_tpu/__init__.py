@@ -104,7 +104,11 @@ class Options:
     # TPU-native extensions
     mesh_shape: tuple | None = None  # e.g. (("dp", 4), ("sp", 2))
     ray_batch: int = 1 << 16  # rays per wavefront step
+    # preemption recovery: when set, Renderer.render saves the film state +
+    # sweep cursor to <checkpoint_dir>/film.ckpt.npz every
+    # ``checkpoint_every`` chunks and resumes bit-identically from it
     checkpoint_dir: str | None = None
+    checkpoint_every: int = 8
     # full spectral transport (the reference's `sampled-spectrum` cargo
     # feature, Cargo.toml:26-28, as a render mode); default from env like
     # PBRT_TPU_DOUBLE.  n_spectral_bins must be a multiple of 3 and divide

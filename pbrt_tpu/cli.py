@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("-o", "--outfile", default="", help="override output image path")
     ap.add_argument("--ray-batch", type=int, default=1 << 16)
+    ap.add_argument("--checkpoint", default="", metavar="DIR",
+                    help="save film state + sweep cursor to DIR periodically "
+                         "and resume from it if present")
     ap.add_argument("scenes", nargs="+", help="pbrt scene files")
     args = ap.parse_args(argv)
 
@@ -49,6 +52,7 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         image_file=args.outfile,
         ray_batch=args.ray_batch,
+        checkpoint_dir=args.checkpoint or None,
     )
     pbrt = PbrtAPI(opts)
     pbrt.init()

@@ -623,6 +623,12 @@ class PbrtAPI:
             from pbrt_tpu.render import render_scene
 
             self.last_render = render_scene(self.scene, self.opt)
+            if self.opt.verbose:
+                # the stats/profiler dump the reference leaves as a comment
+                # block (api.rs:460-465)
+                from pbrt_tpu.utils import stats
+
+                log.info("%s", stats.report())
 
         self.graphics_state = _GraphicsState()
         self.current_api_state = OPTIONS_BLOCK

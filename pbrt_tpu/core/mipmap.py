@@ -168,3 +168,50 @@ class MIPMap:
         if self.channels == 1:
             return out[..., 0]
         return out
+
+    def lookup_aniso(self, s, t, duvdx, duvdy, flat=None, taps=4):
+        """Anisotropic lookup: EWA-LUT-weighted taps along the major axis.
+
+        The footprint ellipse axes are the uv-space differentials
+        (duvdx/duvdy [N,2]); the level is chosen from the MINOR axis
+        (clamped by ``max_anisotropy``, mipmap.rs:38-40 fields) and
+        ``taps`` trilinear samples are distributed along the MAJOR axis
+        weighted by the alpha=2 Gaussian ``EWA_WEIGHT_LUT``
+        (/root/reference/src/core/mipmap.rs:43-52).  Fixed tap count keeps
+        the kernel branch-free and jit-static — the TPU formulation of
+        pbrt's variable-texel EWA loop.
+        """
+        s = jnp.asarray(s)
+        t = jnp.asarray(t)
+        lx = jnp.linalg.norm(duvdx, axis=-1)
+        ly = jnp.linalg.norm(duvdy, axis=-1)
+        major_is_x = lx >= ly
+        major = jnp.where(major_is_x[..., None], duvdx, duvdy)
+        major_len = jnp.maximum(lx, ly)
+        minor_len = jnp.minimum(lx, ly)
+        minor_len = jnp.maximum(minor_len, major_len / self.max_anisotropy)
+        width = jnp.maximum(minor_len, 1e-8)
+        level = jnp.clip(
+            self.n_levels - 1 + jnp.log2(width), 0.0, self.n_levels - 1 - 1e-4
+        )
+        l0 = jnp.floor(level).astype(jnp.int32)
+        dl = (level - l0)[..., None]
+        l1 = jnp.minimum(l0 + 1, self.n_levels - 1)
+
+        acc = 0.0
+        wsum = 0.0
+        for i in range(taps):
+            f = (i + 0.5) / taps - 0.5  # static offsets in [-0.5, 0.5)
+            r2 = min((2.0 * f) ** 2, 1.0)
+            w = float(EWA_WEIGHT_LUT[int(r2 * (EWA_LUT_SIZE - 1))])
+            ss = s + major[..., 0] * f
+            tt = t + major[..., 1] * f
+            val = (1 - dl) * self._bilerp(l0, ss, tt, flat) + dl * self._bilerp(
+                l1, ss, tt, flat
+            )
+            acc = acc + w * val
+            wsum = wsum + w
+        out = acc / wsum
+        if self.channels == 1:
+            return out[..., 0]
+        return out

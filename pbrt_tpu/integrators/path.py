@@ -203,7 +203,21 @@ class PathIntegrator:
             alive = alive & hit["hit"]
 
             # --- surface interaction -------------------------------------
-            si = compute_interaction(c.tables, hit, o, d)
+            ray_diff = None
+            if bounce == 0 and c.tables.get("_flags", {}).get("tex_width"):
+                # camera ray differentials (pbrt-v3 GenerateRayDifferential):
+                # regenerate the +1px-x / +1px-y neighbors from the same
+                # deterministic film/lens samples — a handful of VPU ops,
+                # cheaper than carrying differential state through bounces
+                u_film = sampler.get2(pixel_xy, sample_index, 0)
+                p_film = pixel_xy.astype(dt) + u_film
+                u_lens = sampler.get2(pixel_xy, sample_index, 2)
+                off_x = jnp.asarray([1.0, 0.0], dtype=dt)
+                off_y = jnp.asarray([0.0, 1.0], dtype=dt)
+                _, dxd, _ = c.camera.generate_rays(p_film + off_x, u_lens)
+                _, dyd, _ = c.camera.generate_rays(p_film + off_y, u_lens)
+                ray_diff = (dxd, dyd)
+            si = compute_interaction(c.tables, hit, o, d, ray_diff)
             wo = si["wo"]
 
             # --- emitted radiance at hit (area lights) with MIS ----------

@@ -163,12 +163,40 @@ class Renderer:
 
         if getattr(self.integrator, "custom_render", False):
             return self.integrator.render(self, spp=spp, progress=progress)
+
+        # --- checkpoint / resume (SURVEY §5: preemption recovery) --------
+        ckpt_path = None
+        resume_cursor = 0
+        if self.options.checkpoint_dir:
+            from pathlib import Path
+
+            from pbrt_tpu.utils.checkpoint import load_checkpoint
+
+            ckpt_path = Path(self.options.checkpoint_dir) / "film.ckpt.npz"
+            meta_want = {
+                "res": list(self.film.full_resolution),
+                "spp": int(spp),
+                "n_chunks": int(n_chunks),
+            }
+            loaded = load_checkpoint(ckpt_path)
+            if loaded is not None and state is None:
+                ck_state, cursor, meta = loaded
+                if meta == meta_want and 0 < cursor <= n_chunks:
+                    state = ck_state
+                    resume_cursor = cursor
+                    log.info("Resuming from %s at chunk %d/%d",
+                             ckpt_path, cursor, n_chunks)
+                else:
+                    log.warning("Checkpoint %s does not match this render "
+                                "(have %s, want %s); ignoring", ckpt_path,
+                                meta, meta_want)
         if state is None:
             state = film.initial_state()
         t0 = time.time()
 
         # dense (scatter-free) path: box filter confined to its own pixel,
-        # chunks aligned to whole pixels
+        # chunks aligned to whole pixels.  Checkpointed renders take the
+        # host-chunked path so the sweep cursor is a real host boundary.
         rx, ry = film.filter.radius
         b = film.cropped_pixel_bounds
         dense = (
@@ -179,6 +207,7 @@ class Renderer:
             and batch % spp == 0
             # splatting integrators scatter to arbitrary pixels
             and not getattr(self.integrator, "provides_splats", False)
+            and ckpt_path is None
         )
         if dense:
             if not hasattr(self, "_frame_dense_jit"):
@@ -202,6 +231,10 @@ class Renderer:
             )
             jax.block_until_ready(state["weight"])
             self.rays_traced += n_pix * spp
+            from pbrt_tpu.utils import stats
+
+            stats.count("render/chunks", n_chunks)
+            stats.count("render/camera_samples", n_pix * spp)
             return state
 
         # general (scatter) path: host-built lane arrays per chunk
@@ -220,7 +253,9 @@ class Renderer:
         sidx_chunks = lane_sidx.reshape(n_chunks, batch)
         masks = mask.reshape(n_chunks, batch)
         splat_scale = jnp.asarray(1.0 / spp, dtype=float_t)
-        for ci in range(n_chunks):
+        from pbrt_tpu.utils import stats
+
+        for ci in range(resume_cursor, n_chunks):
             state = self._step(
                 state,
                 jnp.asarray(chunks[ci]),
@@ -229,6 +264,15 @@ class Renderer:
                 splat_scale,
                 index_bound=spp,
             )
+            stats.count("render/chunks")
+            if ckpt_path is not None and (
+                (ci + 1) % max(1, self.options.checkpoint_every) == 0
+                or ci == n_chunks - 1
+            ):
+                from pbrt_tpu.utils.checkpoint import save_checkpoint
+
+                jax.block_until_ready(state["weight"])
+                save_checkpoint(ckpt_path, state, ci + 1, meta_want)
             if progress and (ci == 0 or ci == n_chunks - 1 or (ci + 1) % 8 == 0):
                 jax.block_until_ready(state["weight"])
                 log.info(
@@ -236,6 +280,7 @@ class Renderer:
                 )
         jax.block_until_ready(state["weight"])
         self.rays_traced += n_pix * spp
+        stats.count("render/camera_samples", n_pix * spp)
         return state
 
 
@@ -252,6 +297,10 @@ def render_scene(desc, options: Options | None = None, seed: int = 0,
     t0 = time.time()
     state = r.render()
     dt = time.time() - t0
+    from pbrt_tpu.utils import stats
+
+    stats.count("render/rays_traced", r.rays_traced)
+    stats.timed_add("render/wall_seconds", dt)
     img = np.asarray(r.film.to_rgb(state))
     log.info(
         "Rendered %dx%d @ %d spp in %.2fs",

@@ -307,6 +307,14 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         if lt is not None:
             lights.append(lt)
     lights.extend(area_lights)
+    from pbrt_tpu.utils import stats
+
+    stats.count("scene/lights", len(lights))
+    stats.count("scene/materials", len(materials))
+    if tri_data is not None:
+        stats.count("scene/triangles", int(tri_data.count))
+    if sph_parts:
+        stats.count("scene/spheres", int(sum(s.count for s in sph_parts)))
     if not lights:
         log.warning("No light sources defined in scene; rendering will be black.")
 
@@ -399,7 +407,21 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             np.allclose(getattr(tri_data, f), fn, atol=1e-5)
             for f in ("n0", "n1", "n2")
         )
-    tables["_flags"] = {"uv": bool(uv_needed), "tri_flat": bool(tri_flat)}
+    # ray differentials are generated (and footprints computed) only when
+    # an image texture can consume them — everything else point-samples
+    from pbrt_tpu.textures.imagemap import ImageTexture
+
+    tex_width_needed = any(
+        isinstance(tex, ImageTexture)
+        for e in materials
+        for tex in list(e.textures.values())
+        + ([t for pair in (e.mix_children or []) for t in pair.textures.values()])
+    )
+    tables["_flags"] = {
+        "uv": bool(uv_needed),
+        "tri_flat": bool(tri_flat),
+        "tex_width": bool(uv_needed and tex_width_needed),
+    }
 
     min_prims = desc.accelerator_params.find_one_int("minprims", 512)
     use_bvh = (
@@ -498,11 +520,20 @@ def _sph_cols(sp):
     return jnp.concatenate([p.astype(ft) for p in parts], axis=1)
 
 
-def compute_interaction(tables, hit, o, d):
+def compute_interaction(tables, hit, o, d, ray_diff=None):
     """Hit record -> SoA surface interaction dict.
 
     Keys: p [N,3], ng, ns [N,3], uv [N,2], mat [N], light [N], wo [N,3].
     Misses get mat=-1/light=-1.
+
+    ``ray_diff=(dxd, dyd)`` — directions of the +1-pixel-x / +1-pixel-y
+    camera rays sharing origin ``o`` (pbrt-v3 GenerateRayDifferential) —
+    adds ``duvdx``/``duvdy`` [N,2] and ``tex_width`` [N] (max uv-space
+    footprint component) to the dict: offsets are transferred to the hit
+    plane, then projected onto the triangle's (dpdu, dpdv) via the dual
+    basis of the first fundamental form — branch-free, unlike pbrt's
+    pick-two-axes 2x2 solve (SurfaceInteraction::ComputeDifferentials).
+    Sphere hits get an arc-length estimate ||dpdx|| / (r * pi).
     """
     n = o.shape[0]
     dt = o.dtype
@@ -519,6 +550,23 @@ def compute_interaction(tables, hit, o, d):
     light = jnp.full((n,), -1, dtype=jnp.int32)
     med_in = jnp.full((n,), -1, dtype=jnp.int32)
     med_out = jnp.full((n,), -1, dtype=jnp.int32)
+    duvdx = jnp.zeros((n, 2), dtype=dt)
+    duvdy = jnp.zeros((n, 2), dtype=dt)
+    tex_width = jnp.zeros((n,), dtype=dt)
+
+    def _plane_offsets(ng_plane):
+        """Transfer the +1px offset rays to the hit plane: dpdx, dpdy."""
+        dxd, dyd = ray_diff
+
+        def transfer(dd):
+            denom = jnp.sum(dd * ng_plane, axis=-1)
+            tt = jnp.sum((p - o) * ng_plane, axis=-1) / jnp.where(
+                jnp.abs(denom) > 1e-9, denom, 1.0
+            )
+            ok = jnp.abs(denom) > 1e-9
+            return jnp.where(ok[..., None], o + dd * tt[..., None] - p, 0.0)
+
+        return transfer(dxd), transfer(dyd)
 
     flags = tables.get("_flags", {})
     uv_needed = bool(flags.get("uv", True))
@@ -559,6 +607,43 @@ def compute_interaction(tables, hit, o, d):
             uv0, uv1, uv2 = rows[:, lay["uv0"]], rows[:, lay["uv1"]], rows[:, lay["uv2"]]
             uv_t = b2[..., None] * uv0 + b0[..., None] * uv1 + b1[..., None] * uv2
             uv = jnp.where(m, uv_t, uv)
+            if ray_diff is not None:
+                dpdx, dpdy = _plane_offsets(ng_raw_t)
+                # (dpdu, dpdv) from the uv parameterization (triangle.cpp)
+                duv02 = uv0 - uv2
+                duv12 = uv1 - uv2
+                dp02 = p0 - p2
+                dp12 = p1 - p2
+                det_uv = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+                inv_uv = jnp.where(
+                    jnp.abs(det_uv) > 1e-12,
+                    1.0 / jnp.where(det_uv == 0, 1.0, det_uv), 0.0
+                )[..., None]
+                dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * inv_uv
+                dpdv = (-duv12[..., 0:1] * dp02 + duv02[..., 0:1] * dp12) * inv_uv
+                # dual basis of the first fundamental form: du = dp . fu
+                E = jnp.sum(dpdu * dpdu, axis=-1)
+                F = jnp.sum(dpdu * dpdv, axis=-1)
+                G = jnp.sum(dpdv * dpdv, axis=-1)
+                det_g = E * G - F * F
+                inv_g = jnp.where(det_g > 1e-20, 1.0 / jnp.maximum(det_g, 1e-30), 0.0)
+                fu = (G[..., None] * dpdu - F[..., None] * dpdv) * inv_g[..., None]
+                fv = (E[..., None] * dpdv - F[..., None] * dpdu) * inv_g[..., None]
+                duvdx_t = jnp.stack(
+                    [jnp.sum(dpdx * fu, axis=-1), jnp.sum(dpdx * fv, axis=-1)],
+                    axis=-1,
+                )
+                duvdy_t = jnp.stack(
+                    [jnp.sum(dpdy * fu, axis=-1), jnp.sum(dpdy * fv, axis=-1)],
+                    axis=-1,
+                )
+                duvdx = jnp.where(m, duvdx_t, duvdx)
+                duvdy = jnp.where(m, duvdy_t, duvdy)
+                w_t = jnp.maximum(
+                    jnp.max(jnp.abs(duvdx_t), axis=-1),
+                    jnp.max(jnp.abs(duvdy_t), axis=-1),
+                )
+                tex_width = jnp.where(is_tri, w_t, tex_width)
         ng = jnp.where(m, ng_t, ng)
         ng_raw = jnp.where(m, ng_raw_t, ng_raw)
         ns = jnp.where(m, ns_t, ns)
@@ -607,6 +692,15 @@ def compute_interaction(tables, hit, o, d):
             theta_max = jnp.arccos(jnp.clip(zmin / jnp.maximum(r, 1e-12), -1, 1))
             v_s = (theta - theta_min) / jnp.maximum(theta_max - theta_min, 1e-9)
             uv = jnp.where(m, jnp.stack([u_s, v_s], axis=-1), uv)
+            if ray_diff is not None:
+                dpdx, dpdy = _plane_offsets(n_w)
+                # arc-length footprint estimate: uv spans ~pi*r of surface
+                wid = jnp.maximum(
+                    jnp.linalg.norm(dpdx, axis=-1), jnp.linalg.norm(dpdy, axis=-1)
+                ) / jnp.maximum(r * np.pi, 1e-9)
+                tex_width = jnp.where(is_sph, wid, tex_width)
+                duvdx = jnp.where(m, jnp.stack([wid, wid], -1), duvdx)
+                duvdy = jnp.where(m, jnp.zeros((n, 2), dtype=dt), duvdy)
         ng = jnp.where(m, n_w, ng)
         ng_raw = jnp.where(m, n_w, ng_raw)
         ns = jnp.where(m, n_w, ns)
@@ -624,6 +718,10 @@ def compute_interaction(tables, hit, o, d):
         "med_out": med_out,
         "wo": -d,
     }
+    if ray_diff is not None:
+        out["tex_width"] = tex_width
+        out["duvdx"] = duvdx
+        out["duvdy"] = duvdy
     if "tri" in tables and "tan0" in tables["tri"]:
         out["tang"] = tang
     return out

@@ -85,7 +85,9 @@ def _mesh_from_params(params, o2w, reverse):
     if uv is None:
         uv = params.find_point2f("st")
         if uv is None:
-            fl = params.find_float("uv") or params.find_float("st")
+            fl = params.find_float("uv")
+            if fl is None:
+                fl = params.find_float("st")
             if fl is not None:
                 uv = np.asarray(fl, dtype=float_t).reshape(-1, 2)
     normals = params.find_normal3f("N")

@@ -61,10 +61,21 @@ class ImageTexture:
         s, t = self.mapping.map(si)
         s = s - jnp_floor_if_repeat(s, self.mipmap.wrap)
         t2 = t - jnp_floor_if_repeat(t, self.mipmap.wrap)
-        width = si.get("tex_width")
         # differentiable texel override (theta["tex_images"][tex_id])
         flat = si.get("_tex", {}).get(self.tex_id)
-        return self.mipmap.lookup(s, t2, width, flat=flat)
+        width = si.get("tex_width")
+        duvdx = si.get("duvdx")
+        if width is None:
+            return self.mipmap.lookup(s, t2, None, flat=flat)
+        if not self.mipmap.do_trilinear and duvdx is not None:
+            import jax.numpy as jnp
+
+            wvec = jnp.asarray(getattr(self.mapping, "width_vec", (1.0, 1.0)))
+            return self.mipmap.lookup_aniso(
+                s, t2, duvdx * wvec, si["duvdy"] * wvec, flat=flat
+            )
+        wscale = getattr(self.mapping, "width_scale", 1.0)
+        return self.mipmap.lookup(s, t2, width * wscale, flat=flat)
 
 
 def jnp_floor_if_repeat(x, wrap):

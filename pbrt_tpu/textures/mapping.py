@@ -23,6 +23,10 @@ class UVMapping2D:
             float(du),
             float(dv),
         )
+        # scale factors for uv-space ray-differential footprints
+        # (other mappings default to 1 via getattr)
+        self.width_scale = max(abs(self.su), abs(self.sv))
+        self.width_vec = (self.su, self.sv)
 
     def map(self, si):
         uv = si["uv"]

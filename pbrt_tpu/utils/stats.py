@@ -32,6 +32,11 @@ def timed(name: str):
             _timers[name] += time.time() - t0
 
 
+def timed_add(name: str, seconds: float) -> None:
+    with _lock:
+        _timers[name] += seconds
+
+
 def snapshot() -> dict:
     with _lock:
         return {"counters": dict(_counters), "timers": dict(_timers)}

@@ -55,7 +55,9 @@ class VolPathIntegrator(PathIntegrator):
             [e.type_id for e in compiled.materials], dtype=np.int32
         )
         has_null = bool((self._mat_types == B.NONE).any())
-        self._has_passthrough = has_null and bool(compiled.media)
+        # null-material boundaries need the segmented march even in vacuum
+        # (a null shape must not occlude shadow rays; pbrt-v3 Tr())
+        self._has_passthrough = has_null
         self.passthrough_steps = int(passthrough_steps) if self._has_passthrough else 1
         self.shadow_segments = int(shadow_segments) if self._has_passthrough else 1
 

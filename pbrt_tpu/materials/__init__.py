@@ -199,13 +199,8 @@ def build_material(record) -> MaterialEntry:
         if not children or children[0] is None or children[1] is None:
             log.error("mix material missing children; using matte")
             return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
-        kids = []
-        for ch in children:
-            k = build_material(ch)
-            if k.mix_children is not None:
-                log.warning("nested mix materials unsupported; using child 1")
-                k = k.mix_children[0]
-            kids.append(k)
+        # nested mix children are kept as-is: theta/eval/bsdf all recurse
+        kids = [build_material(ch) for ch in children]
         e = MaterialEntry(kids[0].type_id)
         e.mix_children = (kids[0], kids[1])
         e.mix_amount = spec_tex("amount", 0.5)
@@ -244,6 +239,16 @@ def build_material(record) -> MaterialEntry:
     return MaterialEntry(B.MATTE, {"kd": spec_tex("Kd", 0.5)})
 
 
+def iter_entries_deep(entries):
+    """Yield every MaterialEntry including nested mix children (and each
+    mix entry itself); used by build-time scans that must see textures
+    buried arbitrarily deep in mix trees."""
+    for e in entries:
+        yield e
+        if e.mix_children is not None:
+            yield from iter_entries_deep(list(e.mix_children))
+
+
 def material_theta(entries):
     """Extract the differentiable constant-parameter pytree from entries.
 
@@ -258,12 +263,15 @@ def material_theta(entries):
     the matching child parameter set so gradients flow through both lobes.
     """
     if any(e.mix_children is not None for e in entries):
+        # recursive split: nested mix children produce nested {a, b} dicts
         return {
-            "a": _material_theta_flat(
-                [e.mix_children[0] if e.mix_children else e for e in entries]
+            "a": material_theta(
+                [e.mix_children[0] if e.mix_children is not None else e
+                 for e in entries]
             ),
-            "b": _material_theta_flat(
-                [e.mix_children[1] if e.mix_children else e for e in entries]
+            "b": material_theta(
+                [e.mix_children[1] if e.mix_children is not None else e
+                 for e in entries]
             ),
         }
     return _material_theta_flat(entries)
@@ -304,18 +312,26 @@ def eval_material_params(entries, mat_id, si, theta=None):
     if not any(e.mix_children is not None for e in entries):
         return _eval_material_params_single(entries, mat_id, si, theta)
     # split each mix entry into its two children, preserving indices so
-    # mat_id keeps addressing the same rows
-    entries_a = [e.mix_children[0] if e.mix_children else e for e in entries]
-    entries_b = [e.mix_children[1] if e.mix_children else e for e in entries]
+    # mat_id keeps addressing the same rows; children that are themselves
+    # mix entries recurse through this same function
+    entries_a = [e.mix_children[0] if e.mix_children is not None else e
+                 for e in entries]
+    entries_b = [e.mix_children[1] if e.mix_children is not None else e
+                 for e in entries]
     # material_theta produced split per-child rows for mix scenes; route
     # each half to the matching child entry list (tex_images apply to both)
     theta_a = theta_b = None
     if theta is not None:
+        if "a" not in theta:
+            raise ValueError(
+                "mix scenes need the split {a, b} theta from material_theta; "
+                "got a flat parameter pytree"
+            )
         tex = {"tex_images": theta["tex_images"]} if "tex_images" in theta else {}
         theta_a = {**theta["a"], **tex}
         theta_b = {**theta["b"], **tex}
-    params = _eval_material_params_single(entries_a, mat_id, si, theta_a)
-    params_b = _eval_material_params_single(entries_b, mat_id, si, theta_b)
+    params = eval_material_params(entries_a, mat_id, si, theta_a)
+    params_b = eval_material_params(entries_b, mat_id, si, theta_b)
     n = mat_id.shape[0]
     dt = params["kd"].dtype
     amt = jnp.ones((n, 3), dtype=dt)

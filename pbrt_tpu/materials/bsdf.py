@@ -572,6 +572,11 @@ def _bsdf_sample_one(params, wo, u_lobe, u2):
 # linearly (f = amt f1 + (1-amt) f2); sampling picks a child by mix_pa with
 # the lobe sample rescaled.  Scenes without mix compile to the _one path
 # untouched.
+#
+# NESTED mix materials recurse naturally: params["mix_b"] may itself carry
+# a "mix_b" (a mix child), and the wrappers below call each other (not the
+# _one internals) on it — the one-sample estimator nests unbiasedly, and
+# the static recursion depth equals the scene's mix nesting depth.
 
 
 def _mix_b(params):
@@ -587,7 +592,7 @@ def bsdf_eval(params, wo, wi):
     pb = _mix_b(params)
     if pb is not None:
         amt = params["mix_amt"]
-        f = amt * f + (1.0 - amt) * _bsdf_eval_one(pb, wo, wi)
+        f = amt * f + (1.0 - amt) * bsdf_eval(pb, wo, wi)
     return f
 
 
@@ -597,7 +602,7 @@ def bsdf_pdf(params, wo, wi):
     pb = _mix_b(params)
     if pb is not None:
         pa = params["mix_pa"]
-        pdf = pa * pdf + (1.0 - pa) * _bsdf_pdf_one(pb, wo, wi)
+        pdf = pa * pdf + (1.0 - pa) * bsdf_pdf(pb, wo, wi)
     return pdf
 
 
@@ -616,7 +621,7 @@ def bsdf_sample(params, wo, u_lobe, u2):
     u_a = jnp.clip(u_lobe / jnp.maximum(pa, 1e-6), 0.0, ONE_MINUS_EPS)
     u_b = jnp.clip((u_lobe - pa) / jnp.maximum(1.0 - pa, 1e-6), 0.0, ONE_MINUS_EPS)
     wi_a, f_a, _pdf_a, spec_a = _bsdf_sample_one(params, wo, u_a, u2)
-    wi_b, f_b, _pdf_b, spec_b = _bsdf_sample_one(pb, wo, u_b, u2)
+    wi_b, f_b, _pdf_b, spec_b = bsdf_sample(pb, wo, u_b, u2)
     wi = jnp.where(choose_a[..., None], wi_a, wi_b)
     spec = jnp.where(choose_a, spec_a, spec_b)
     f = bsdf_eval(params, wo, wi)

@@ -30,6 +30,9 @@ class Renderer:
         self.options = options or Options()
         self.compiled = build_scene(desc, self.options, seed)
         self.integrator = make_integrator(self.compiled)
+        # config hygiene after the last factory consumes its params
+        # (reference pattern api.rs:347,962)
+        self.compiled.integrator_params.report_unused()
         self.film = self.compiled.film
         self.sampler = self.compiled.sampler
         self.camera = self.compiled.camera

@@ -76,12 +76,18 @@ class CompiledScene:
         theta["area_l"] = jnp.asarray(
             np.stack(area) if area else np.zeros((0, 3), dtype=float_t)
         )
-        # texel-level image-texture parameters: {tex_id: flat pyramid}
+        # texel-level image-texture parameters: {tex_id: flat pyramid};
+        # iterate nested mix children (and mix_amount textures) too, so
+        # image-textured mix children are differentiable
+        from pbrt_tpu.materials import iter_entries_deep
         from pbrt_tpu.textures.imagemap import ImageTexture
 
         tex_images = {}
-        for e in self.materials:
-            for tex in e.textures.values():
+        for e in iter_entries_deep(self.materials):
+            texes = list(e.textures.values())
+            if e.mix_amount is not None:
+                texes.append(e.mix_amount)
+            for tex in texes:
                 if isinstance(tex, ImageTexture):
                     tex_images[tex.tex_id] = tex.mipmap._flat
         theta["tex_images"] = tex_images
@@ -139,6 +145,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     """SceneDescription (core/api.py) -> CompiledScene."""
     # --- film / filter / camera / sampler --------------------------------
     filt = make_filter(desc.filter_name, desc.filter_params)
+    desc.filter_params.report_unused()
     fp = desc.film_params
     xres = fp.find_one_int("xresolution", 1280)
     yres = fp.find_one_int("yresolution", 720)
@@ -162,8 +169,11 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         fp.find_one_float("scale", 1.0),
         fp.find_one_float("maxsampleluminance", float("inf")),
     )
+    fp.report_unused()
     camera = make_camera(desc.camera_name, desc.camera_params, desc.camera_to_world[0], film)
+    desc.camera_params.report_unused()
     sampler = make_sampler(desc.sampler_name, desc.sampler_params, seed)
+    desc.sampler_params.report_unused()
 
     # --- participating media ---------------------------------------------
     from pbrt_tpu.media import make_medium as _make_medium
@@ -173,6 +183,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     for m_name, m_params in desc.named_media.items():
         kind = m_params.find_one_string("type", "homogeneous")
         media.append(_make_medium(kind, m_params))
+        m_params.report_unused()
         media_names[m_name] = len(media) - 1
 
     def med_id(name: str) -> int:
@@ -207,6 +218,9 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         if key in mat_cache:
             return mat_cache[key]
         materials.append(build_material(record))
+        # config hygiene after every factory (reference pattern
+        # api.rs:347,962); mix children resolve recursively
+        record.params.report_unused()
         mat_cache[key] = len(materials) - 1
         return mat_cache[key]
 
@@ -239,7 +253,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         shape = make_shape(rec.name, rec.params, rec.object_to_world, rec.reverse_orientation)
         if shape is None:
             continue
-        rec.params.mark_all_used()
+        rec.params.report_unused()
         m_idx = mat_index(rec.material)
         has_area = bool(rec.area_light_name)
         is_sss = rec.material.name in ("subsurface", "kdsubsurface")
@@ -263,6 +277,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
                 al = DiffuseAreaLight(
                     l_emit, two_sided, shape.p0, shape.p1, shape.p2
                 )
+                ap.report_unused()
                 area_lights.append(al)
                 light_idx = len(area_lights) - 1
             tri_parts.append(shape)
@@ -392,11 +407,12 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     # arctan2/arccos parameterization) is statically dropped.
     from pbrt_tpu.textures.constant import ConstantTexture
 
+    from pbrt_tpu.materials import iter_entries_deep
+
     uv_needed = any(
         not isinstance(tex, ConstantTexture)
-        for e in materials
-        for tex in list(e.textures.values())
-        + ([t for pair in (e.mix_children or []) for t in pair.textures.values()])
+        for e in iter_entries_deep(materials)
+        for tex in e.textures.values()
     ) or any(e.mix_children is not None for e in materials)
     tri_flat = False
     if tri_data is not None:
@@ -413,9 +429,8 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
 
     tex_width_needed = any(
         isinstance(tex, ImageTexture)
-        for e in materials
-        for tex in list(e.textures.values())
-        + ([t for pair in (e.mix_children or []) for t in pair.textures.values()])
+        for e in iter_entries_deep(materials)
+        for tex in e.textures.values()
     )
     tables["_flags"] = {
         "uv": bool(uv_needed),
@@ -435,6 +450,7 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         intersector = BVHIntersector(tri_data, sph_data)
     else:
         intersector = SoABruteForceIntersector(tri_data, sph_data)
+    desc.accelerator_params.report_unused()
 
     return CompiledScene(
         film=film,

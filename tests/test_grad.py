@@ -151,3 +151,71 @@ def test_gradient_descent_recovers_albedo(renderer):
         theta["kd"] = jnp.clip(theta["kd"] - lr * g["kd"], 0.0, 1.0)
     final = np.asarray(theta["kd"][0])
     np.testing.assert_allclose(final, [0.4, 0.5, 0.6], atol=0.03)
+
+
+NESTED_MIX_SCENE = SCENE.replace(
+    'Material "matte" "rgb Kd" [0.4 0.5 0.6]',
+    '''MakeNamedMaterial "ma" "string type" "matte" "rgb Kd" [0.4 0.5 0.6]
+MakeNamedMaterial "mb" "string type" "matte" "rgb Kd" [0.1 0.8 0.3]
+MakeNamedMaterial "mc" "string type" "matte" "rgb Kd" [0.7 0.2 0.1]
+MakeNamedMaterial "inner" "string type" "mix" "string namedmaterial1" "mb"
+  "string namedmaterial2" "mc" "rgb amount" [0.6 0.6 0.6]
+Material "mix" "string namedmaterial1" "ma" "string namedmaterial2" "inner"
+  "rgb amount" [0.3 0.3 0.3]''',
+)
+
+
+def test_grad_through_nested_mix():
+    """Nested mix: theta nests as {"a", "b": {"a", "b"}} and gradients
+    flow to all three leaves, matching finite differences."""
+    api = PbrtAPI(Options(ray_batch=64), render_on_world_end=False)
+    api.init()
+    api.parse_string(NESTED_MIX_SCENE)
+    r = Renderer(api.scene, api.opt, seed=0)
+    theta = r.compiled.initial_theta()
+    assert "a" in theta["b"] and "b" in theta["b"], "nested split theta"
+    pixels = jnp.asarray(
+        r.film.cropped_pixel_bounds.offsets().astype(np.int32)
+    )
+    target = np.zeros((8, 8, 3), dtype=np.float32)
+    loss = make_loss_fn(r, target, spp=2)
+    g = jax.jit(jax.grad(loss))(theta, pixels)
+    eps = 1e-2
+    lf = jax.jit(loss)
+
+    def perturb(path, delta):
+        import copy
+
+        t2 = copy.deepcopy({k: v for k, v in theta.items()})
+        node = t2
+        for k in path[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        node[path[-1]] = node[path[-1]].at[0, 0].add(delta)
+        return float(lf(t2, pixels))
+
+    for path in (("a", "kd"), ("b", "a", "kd"), ("b", "b", "kd")):
+        fd = (perturb(path, eps) - perturb(path, -eps)) / (2 * eps)
+        gn = g
+        for k in path:
+            gn = gn[k]
+        ad = float(gn[0, 0])
+        assert fd != 0.0, f"leaf {path} must contribute"
+        np.testing.assert_allclose(ad, fd, rtol=0.05)
+
+
+def test_flat_theta_on_mix_scene_raises():
+    """Passing a flat (pre-split) theta to a mix scene must fail loudly."""
+    from pbrt_tpu.materials import eval_material_params
+    import pytest
+
+    api = PbrtAPI(Options(ray_batch=64), render_on_world_end=False)
+    api.init()
+    api.parse_string(MIX_SCENE)
+    r = Renderer(api.scene, api.opt, seed=0)
+    si = {"p": jnp.zeros((4, 3)), "uv": jnp.zeros((4, 2))}
+    flat = {"kd": jnp.zeros((len(r.compiled.materials), 3))}
+    with pytest.raises(ValueError, match="split"):
+        eval_material_params(
+            r.compiled.materials, jnp.zeros(4, jnp.int32), si, flat
+        )

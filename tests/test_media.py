@@ -269,3 +269,34 @@ def test_null_material_fog_box():
     # the 3x3 center (all rays share the same chord) for 576 samples
     ratio = foggy[1:4, 1:4, 0].mean() / clear[1:4, 1:4, 0].mean()
     np.testing.assert_allclose(ratio, np.exp(-0.5 * 2.0), rtol=0.08)
+
+
+def test_null_shape_does_not_shadow_in_vacuum():
+    """A null-material (shaped-volume boundary) sphere between light and
+    floor must not cast a shadow even with no media in the scene —
+    pbrt-v3 VisibilityTester::Tr passes through material-less surfaces."""
+    tmpl = """
+    LookAt 0 3 -6  0 0 0  0 1 0
+    Camera "perspective" "float fov" 45
+    Sampler "halton" "integer pixelsamples" 8
+    Integrator "volpath" "integer maxdepth" 2
+    Film "image" "integer xresolution" [24] "integer yresolution" [24]
+    WorldBegin
+    LightSource "point" "rgb I" [60 60 60] "point from" [0 5 0]
+    Material "matte" "rgb Kd" [0.7 0.7 0.7]
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-4 0 -4  4 0 -4  4 0 4  -4 0 4]
+    %s
+    WorldEnd
+    """
+    blocker = (
+        'AttributeBegin\n  Material ""\n  Translate 0 2.5 0\n'
+        '  Shape "sphere" "float radius" 1\nAttributeEnd'
+    )
+    img_null = render(tmpl % blocker)
+    img_open = render(tmpl % "")
+    center = (slice(10, 14), slice(10, 14))
+    np.testing.assert_allclose(
+        img_null[center], img_open[center], atol=0.02
+    )
+    assert img_open[center].mean() > 0.1

@@ -247,3 +247,41 @@ WorldEnd
     img_red = render_string(tmpl % 'NamedMaterial "red"')["image"]
     center = (slice(4, 8), slice(4, 8))
     assert np.allclose(img_mix[center], img_red[center], atol=0.02)
+
+
+def test_nested_mix_material():
+    """mix(red, mix(green, blue, .5), .5) = .5 red + .25 green + .25 blue
+    — nested mix trees recurse through theta/eval/bsdf instead of
+    collapsing to child 1."""
+    tmpl = """
+LookAt 0 0 -3  0 0 0  0 1 0
+Camera "perspective" "float fov" 40
+Sampler "halton" "integer pixelsamples" 32
+Integrator "path" "integer maxdepth" 3
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+MakeNamedMaterial "red" "string type" "matte" "rgb Kd" [0.8 0 0]
+MakeNamedMaterial "green" "string type" "matte" "rgb Kd" [0 0.7 0]
+MakeNamedMaterial "blue" "string type" "matte" "rgb Kd" [0 0 0.6]
+MakeNamedMaterial "inner" "string type" "mix"
+  "string namedmaterial1" "green" "string namedmaterial2" "blue"
+  "rgb amount" [0.5 0.5 0.5]
+%s
+Shape "sphere" "float radius" 1
+WorldEnd
+"""
+    img_nest = render_string(
+        tmpl
+        % (
+            'Material "mix" "string namedmaterial1" "red" '
+            '"string namedmaterial2" "inner" "rgb amount" [0.5 0.5 0.5]'
+        )
+    )["image"]
+    img_r = render_string(tmpl % 'NamedMaterial "red"')["image"]
+    img_g = render_string(tmpl % 'NamedMaterial "green"')["image"]
+    img_b = render_string(tmpl % 'NamedMaterial "blue"')["image"]
+    center = (slice(6, 10), slice(6, 10))
+    want = (0.5 * img_r[center] + 0.25 * img_g[center] + 0.25 * img_b[center])
+    got = img_nest[center]
+    assert np.allclose(got.mean(axis=(0, 1)), want.mean(axis=(0, 1)), atol=0.02)

@@ -66,6 +66,34 @@ class ProjectiveCamera:
         self.cam_pos_world = np.asarray(
             self.camera_to_world.apply_p(np.zeros(3)), dtype=float_t
         )
+        self._anim_c2w = None  # [K,4,4] keyframes when the camera moves
+
+    def set_animation(self, key_transforms):
+        """Camera motion blur: keyframed camera-to-world matrices across
+        the shutter (decompose+slerp on host, per-lane hat-weight blending
+        on device — core/animated.py)."""
+        import numpy as _np
+
+        self._anim_c2w = jnp.asarray(
+            _np.stack([t.m for t in key_transforms]).astype(float_t)
+        )
+
+    def _apply_c2w(self, o, d, u_time):
+        """Camera-space (o, d) -> world, per-lane animated when keyed."""
+        if self._anim_c2w is None or u_time is None:
+            o_w = apply_point(self._c2w, o)
+            d_w = apply_vector(self._c2w, d)
+        else:
+            from pbrt_tpu.ops.animated_intersect import time_weights
+
+            k = self._anim_c2w.shape[0]
+            w = time_weights(
+                jnp.broadcast_to(u_time, o.shape[:-1]).astype(o.dtype), k
+            )
+            m = jnp.einsum("nk,kij->nij", w, self._anim_c2w.astype(o.dtype))
+            o_w = jnp.einsum("nij,nj->ni", m[:, :3, :3], o) + m[:, :3, 3]
+            d_w = jnp.einsum("nij,nj->ni", m[:, :3, :3], d)
+        return o_w, d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
 
 
 class PerspectiveCamera(ProjectiveCamera):
@@ -99,9 +127,7 @@ class PerspectiveCamera(ProjectiveCamera):
             o = jnp.concatenate([p_lens, jnp.zeros((n, 1), dtype=d.dtype)], axis=-1)
             d = p_focus - o
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o_w = apply_point(self._c2w, o)
-        d_w = apply_vector(self._c2w, d)
-        d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
+        o_w, d_w = self._apply_c2w(o, d, u_time)
         return o_w, d_w, jnp.ones(n, dtype=float_t)
 
     # -- camera importance (pbrt-v3 We/Pdf_We, cameras/perspective.cpp) -----
@@ -179,9 +205,7 @@ class OrthographicCamera(ProjectiveCamera):
             o = o.at[..., 0:2].add(p_lens)
             d = p_focus - o
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o_w = apply_point(self._c2w, o)
-        d_w = apply_vector(self._c2w, d)
-        d_w = d_w / jnp.linalg.norm(d_w, axis=-1, keepdims=True)
+        o_w, d_w = self._apply_c2w(o, d, u_time)
         return o_w, d_w, jnp.ones(n, dtype=float_t)
 
 

@@ -104,6 +104,10 @@ class ShapeRecord:
     inside_medium: str = ""
     outside_medium: str = ""
     object_instance: Optional[str] = None  # name while inside ObjectBegin
+    # end-slot (time transform_end_time) object-to-world when the shape was
+    # declared under an animated CTM (api.rs:157-198 2-slot TransformSet);
+    # None = static
+    object_to_world_end: Optional[Transform] = None
 
 
 @dataclasses.dataclass
@@ -552,8 +556,10 @@ class PbrtAPI:
     def shape(self, name: str, params: ParamSet) -> None:
         if not self._verify_world("shape"):
             return
-        self._warn_if_animated_transform("shape")
         o2w = self.current_transform[0]
+        o2w_end = None
+        if self.current_transform.is_animated():
+            o2w_end = self.current_transform[1]
         rec = ShapeRecord(
             name=name,
             params=params,
@@ -570,6 +576,7 @@ class PbrtAPI:
             inside_medium=self.graphics_state.current_inside_medium,
             outside_medium=self.graphics_state.current_outside_medium,
             object_instance=self._current_instance,
+            object_to_world_end=o2w_end,
         )
         if self._current_instance is not None:
             self.scene.instances[self._current_instance].append(rec)

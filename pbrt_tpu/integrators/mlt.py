@@ -199,49 +199,69 @@ class MLTIntegrator(PathIntegrator):
         u = boot_u[picks]
         f = boot_f[picks]
 
+        # chain state carries the CURRENT evaluation (p, L, f, splats) so
+        # each iteration evaluates only the proposal — pbrt keeps the
+        # current path's contribution the same way (§16.4.5)
+        p_cur, L_cur, f, sp_cur = eval_j(u)
+
         @jax.jit
-        def step(u, f, state_splat, key):
+        def step(u, f, p_cur, L_cur, sp_cur, state_splat, acc_sum, key):
             large_u = self._uniform(n_chains, d, key * 2 + 11)
             lane = jnp.arange(n_chains, dtype=jnp.uint32)
             sel, acc_bits, _ = pcg3d(lane, jnp.uint32(key), jnp.uint32(0xAB))
             is_large = u32_to_float(sel) < self.p_large
             u_prop = jnp.where(is_large[:, None], large_u, self._mutate(u, key))
             p_new, L_new, f_new, sp_new = self._evaluate(u_prop, film)
-            p_old, L_old, f_old, sp_old = self._evaluate(u, film)
-            a = jnp.minimum(1.0, f_new / jnp.maximum(f_old, 1e-12))
-            a = jnp.where(f_old <= 0, 1.0, a)
+            a = jnp.minimum(1.0, f_new / jnp.maximum(f, 1e-12))
+            a = jnp.where(f <= 0, 1.0, a)
             # expected-value splats (pbrt 16.4.5): old with (1-a), new with
             # a; light-tracing contributions land at their own pRaster
             w_new = a / jnp.maximum(f_new, 1e-12)
-            w_old = (1.0 - a) / jnp.maximum(f_old, 1e-12)
+            w_old = (1.0 - a) / jnp.maximum(f, 1e-12)
             for pw, Lw, ww, fw in (
                 (p_new, L_new, w_new, f_new),
-                (p_old, L_old, w_old, f_old),
+                (p_cur, L_cur, w_old, f),
             ):
                 state_splat = film.add_splats(
                     state_splat, pw, Lw * ww[..., None], mask=fw > 0
                 )
             for (ps, Ls), ww, fw in (
                 [(sp, w_new, f_new) for sp in sp_new]
-                + [(sp, w_old, f_old) for sp in sp_old]
+                + [(sp, w_old, f) for sp in sp_cur]
             ):
                 state_splat = film.add_splats(
                     state_splat, ps, Ls * ww[..., None], mask=fw > 0
                 )
             accept = u32_to_float(acc_bits) < a
-            u = jnp.where(accept[:, None], u_prop, u)
+            acc3 = accept[:, None]
+            u = jnp.where(acc3, u_prop, u)
             f = jnp.where(accept, f_new, f)
-            return u, f, state_splat
+            p_cur = jnp.where(acc3, p_new, p_cur)
+            L_cur = jnp.where(acc3, L_new, L_cur)
+            sp_cur = [
+                (jnp.where(acc3, pn, po), jnp.where(acc3, Ln, Lo))
+                for (pn, Ln), (po, Lo) in zip(sp_new, sp_cur)
+            ]
+            acc_sum = acc_sum + jnp.sum(accept)
+            return u, f, p_cur, L_cur, sp_cur, state_splat, acc_sum
 
         state = film.initial_state()
+        acc_sum = jnp.zeros((), jnp.int32)
         t0 = time.time()
         for it in range(n_iters):
-            u, f, state = step(u, f, state, it + 1)
+            u, f, p_cur, L_cur, sp_cur, state, acc_sum = step(
+                u, f, p_cur, L_cur, sp_cur, state, acc_sum, it + 1
+            )
             if progress and (it == 0 or it == n_iters - 1):
                 jax.block_until_ready(f)
                 log.info("MLT iteration %d/%d (%.1fs)", it + 1, n_iters,
                          time.time() - t0)
         jax.block_until_ready(state["splat_xyz"])
+        # diagnostics for tests / logs (pbrt's MLT statistics)
+        self.last_b = b_norm
+        self.last_acceptance = float(acc_sum) / float(n_chains * n_iters)
+        log.info("MLT acceptance rate %.3f, b = %.5f",
+                 self.last_acceptance, b_norm)
 
         # normalization: each pixel's estimate = splat * b / samplesPerPixel
         # where total splats = n_chains * n_iters over n_pix pixels

@@ -7,7 +7,7 @@ Sample dimensions are allocated statically per bounce so every sampler
 value is a pure function of (pixel, sample index, dimension).
 
 Dimension layout:
-  0,1  film jitter     2,3  lens        4  (time, reserved)
+  0,1  film jitter     2,3  lens        4  time (motion blur)
   per bounce b, base = 5 + 7*b:
     +0 light select    +1,+2 light u2   +3 lobe select
     +4,+5 bsdf u2      +6 russian roulette
@@ -60,6 +60,19 @@ class PathIntegrator:
         self.max_depth = int(max_depth)
         self.rr_threshold = float(rr_threshold)
         self.remat = bool(remat)
+        self._animated = bool(
+            compiled.tables.get("_flags", {}).get("animated_keys", 0)
+        )
+
+    def _intersect(self, o, d, t_max, time):
+        if self._animated:
+            return self.c.intersector.intersect(o, d, t_max, time=time)
+        return self.c.intersector.intersect(o, d, t_max)
+
+    def _occluded(self, o, d, t_max, time):
+        if self._animated:
+            return self.c.intersector.occluded(o, d, t_max, time=time)
+        return self.c.intersector.occluded(o, d, t_max)
 
     # -- light plumbing ----------------------------------------------------
 
@@ -187,8 +200,13 @@ class PathIntegrator:
             # dead lanes trace with t_max=0: the sorted Pallas path groups
             # them into packets that terminate at the root test (wavefront
             # compaction without a gather/scatter pass)
+            # per-lane shutter time (normalized): pure function of
+            # (pixel, sample, dim 4) like every other sample dimension
+            time = (
+                sampler.get(pixel_xy, sample_index, 4) if self._animated else None
+            )
             t_far = jnp.where(alive, INF_T, 0.0).astype(dt)
-            hit = c.intersector.intersect(o, d, t_far)
+            hit = self._intersect(o, d, t_far, time)
 
             # --- escaped rays: environment radiance with MIS -------------
             esc = alive & ~hit["hit"]
@@ -217,7 +235,7 @@ class PathIntegrator:
                 _, dxd, _ = c.camera.generate_rays(p_film + off_x, u_lens)
                 _, dyd, _ = c.camera.generate_rays(p_film + off_y, u_lens)
                 ray_diff = (dxd, dyd)
-            si = compute_interaction(c.tables, hit, o, d, ray_diff)
+            si = compute_interaction(c.tables, hit, o, d, ray_diff, time)
             wo = si["wo"]
 
             # --- emitted radiance at hit (area lights) with MIS ----------
@@ -258,9 +276,10 @@ class PathIntegrator:
                 shadow_o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
                     jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
                 )
-                occluded = c.intersector.occluded(
+                occluded = self._occluded(
                     shadow_o, wi_w,
                     jnp.where(can, l_dist - 2 * SHADOW_EPS, 0.0),
+                    time,
                 )
                 vis = can & ~occluded
                 w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))

@@ -47,7 +47,12 @@ class Renderer:
         u_film = sampler.get2(pixel_xy, sample_index, 0)
         p_film = pixel_xy.astype(float_t) + u_film
         u_lens = sampler.get2(pixel_xy, sample_index, 2)
-        o, d, w = self.camera.generate_rays(p_film, u_lens)
+        u_time = (
+            sampler.get(pixel_xy, sample_index, 4)
+            if getattr(self.camera, "_anim_c2w", None) is not None
+            else None
+        )
+        o, d, w = self.camera.generate_rays(p_film, u_lens, u_time)
         if getattr(self.integrator, "provides_splats", False):
             # integrators with light-tracing strategies (BDPT t=1) emit
             # film splats at pixels other than the lane's own
@@ -128,7 +133,12 @@ class Renderer:
         u_film = sampler.get2(pixel_xy, sample_index, 0)
         p_film = pixel_xy.astype(float_t) + u_film
         u_lens = sampler.get2(pixel_xy, sample_index, 2)
-        o, d, w = self.camera.generate_rays(p_film, u_lens)
+        u_time = (
+            sampler.get(pixel_xy, sample_index, 4)
+            if getattr(self.camera, "_anim_c2w", None) is not None
+            else None
+        )
+        o, d, w = self.camera.generate_rays(p_film, u_lens, u_time)
         L = self.integrator.li(sampler, pixel_xy, sample_index, o, d)
         L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]
         L = jnp.where(lane_mask[..., None], L, 0.0)

@@ -171,6 +171,17 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
     )
     fp.report_unused()
     camera = make_camera(desc.camera_name, desc.camera_params, desc.camera_to_world[0], film)
+    if desc.camera_to_world.is_animated():
+        from pbrt_tpu.core.animated import AnimatedTransform as _AT
+
+        c_at = _AT(
+            desc.camera_to_world[0], desc.camera_to_world[1],
+            desc.transform_start_time, desc.transform_end_time,
+        )
+        if c_at.actually_animated and hasattr(camera, "set_animation"):
+            so = desc.camera_params.find_one_float("shutteropen", 0.0)
+            sc = desc.camera_params.find_one_float("shutterclose", 1.0)
+            camera.set_animation(c_at.key_transforms(so, sc))
     desc.camera_params.report_unused()
     sampler = make_sampler(desc.sampler_name, desc.sampler_params, seed)
     desc.sampler_params.report_unused()
@@ -249,8 +260,44 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             sss_med_cache[key] = len(media) - 1
         return sss_med_cache[key]
 
+    # --- motion blur: keyframed world-space geometry ----------------------
+    # Animated records (2-slot CTM at Shape time) get K decompose+slerp
+    # keyframes across the shutter (core/animated.py); static records in an
+    # animated scene replicate so every key table shares topology.
+    from pbrt_tpu.core.animated import AnimatedTransform
+
+    shutter_open = desc.camera_params.find_one_float("shutteropen", 0.0)
+    shutter_close = desc.camera_params.find_one_float("shutterclose", 1.0)
+    anim_xforms = {}
+    n_keys = 0
     for rec in shape_records:
-        shape = make_shape(rec.name, rec.params, rec.object_to_world, rec.reverse_orientation)
+        if rec.object_to_world_end is not None:
+            at = AnimatedTransform(
+                rec.object_to_world, rec.object_to_world_end,
+                desc.transform_start_time, desc.transform_end_time,
+            )
+            if at.actually_animated:
+                anim_xforms[id(rec)] = at
+                n_keys = max(n_keys, at.n_keys())
+    scene_animated = bool(anim_xforms)
+    tri_key_parts: List[List[TriangleData]] = [[] for _ in range(max(n_keys, 1))]
+
+    for rec in shape_records:
+        at = anim_xforms.get(id(rec))
+        if scene_animated:
+            xfs = (
+                at.key_transforms(shutter_open, shutter_close, n_keys)
+                if at is not None
+                else [rec.object_to_world] * n_keys
+            )
+            key_shapes = [
+                make_shape(rec.name, rec.params, xf, rec.reverse_orientation)
+                for xf in xfs
+            ]
+            shape = key_shapes[0]
+        else:
+            shape = make_shape(rec.name, rec.params, rec.object_to_world, rec.reverse_orientation)
+            key_shapes = None
         if shape is None:
             continue
         rec.params.report_unused()
@@ -258,11 +305,29 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         has_area = bool(rec.area_light_name)
         is_sss = rec.material.name in ("subsurface", "kdsubsurface")
         has_medium = bool(rec.inside_medium) or bool(rec.outside_medium)
-        if isinstance(shape, SphereData) and (has_area or is_sss or has_medium):
+        if isinstance(shape, SphereData) and (
+            has_area or is_sss or has_medium or (scene_animated and at is not None)
+        ):
             # medium interfaces (and area sampling) live on the triangle
-            # tables, so spheres that need either become meshes
-            shape = _tessellate_emitting_sphere(shape)
+            # tables, so spheres that need either become meshes; animated
+            # spheres tessellate too (keyframed triangles carry the motion)
+            if key_shapes is not None:
+                key_shapes = [_tessellate_emitting_sphere(s) for s in key_shapes]
+                counts = {s.count for s in key_shapes}
+                if len(counts) != 1:
+                    raise ValueError(
+                        "animated sphere tessellation produced inconsistent "
+                        "topology across keyframes"
+                    )
+                shape = key_shapes[0]
+            else:
+                shape = _tessellate_emitting_sphere(shape)
         if isinstance(shape, TriangleData):
+            if scene_animated:
+                if key_shapes is None or isinstance(key_shapes[0], SphereData):
+                    key_shapes = [shape] * n_keys
+                for k in range(n_keys):
+                    tri_key_parts[k].append(key_shapes[k])
             light_idx = -1
             if has_area:
                 ap = rec.area_light_params
@@ -291,6 +356,11 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             sph_mat.extend([m_idx] * shape.count)
 
     tri_data = concat_triangle_data(tri_parts)
+    tri_key_data = (
+        [concat_triangle_data(parts) for parts in tri_key_parts]
+        if scene_animated and tri_key_parts[0]
+        else None
+    )
     tri_mat_arr = (
         np.concatenate(tri_mat) if tri_mat else np.zeros(0, dtype=np.int32)
     )
@@ -436,7 +506,20 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         "uv": bool(uv_needed),
         "tri_flat": bool(tri_flat),
         "tex_width": bool(uv_needed and tex_width_needed),
+        # K > 0: per-lane shutter times blend geometry between K keyframes
+        "animated_keys": int(n_keys) if tri_key_data is not None else 0,
     }
+    if tri_key_data is not None:
+        # packed [T, 18] per key: p0 p1 p2 n0 n1 n2 (compute_interaction
+        # blends per-lane-gathered rows with the lane's hat weights)
+        tables["tri_keys"] = [
+            jnp.asarray(
+                np.concatenate(
+                    [kd.p0, kd.p1, kd.p2, kd.n0, kd.n1, kd.n2], axis=1
+                ).astype(float_t)
+            )
+            for kd in tri_key_data
+        ]
 
     min_prims = desc.accelerator_params.find_one_int("minprims", 512)
     use_bvh = (
@@ -444,7 +527,13 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
         and tri_data is not None
         and tri_data.count >= min_prims
     )
-    if use_bvh:
+    if tri_key_data is not None:
+        # animated scenes take the keyframe-blending sweep (no BVH yet:
+        # bounds would need shutter expansion; fine at test-scene scale)
+        from pbrt_tpu.ops.animated_intersect import AnimatedIntersector
+
+        intersector = AnimatedIntersector(tri_key_data, sph_data)
+    elif use_bvh:
         from pbrt_tpu.accel.bvh import BVHIntersector
 
         intersector = BVHIntersector(tri_data, sph_data)
@@ -536,7 +625,7 @@ def _sph_cols(sp):
     return jnp.concatenate([p.astype(ft) for p in parts], axis=1)
 
 
-def compute_interaction(tables, hit, o, d, ray_diff=None):
+def compute_interaction(tables, hit, o, d, ray_diff=None, time=None):
     """Hit record -> SoA surface interaction dict.
 
     Keys: p [N,3], ng, ns [N,3], uv [N,2], mat [N], light [N], wo [N,3].
@@ -550,6 +639,10 @@ def compute_interaction(tables, hit, o, d, ray_diff=None):
     basis of the first fundamental form — branch-free, unlike pbrt's
     pick-two-axes 2x2 solve (SurfaceInteraction::ComputeDifferentials).
     Sphere hits get an arc-length estimate ||dpdx|| / (r * pi).
+
+    ``time`` ([N] normalized shutter time) blends triangle vertices and
+    shading normals between the scene's keyframe tables (motion blur);
+    requires ``tables["tri_keys"]``.
     """
     n = o.shape[0]
     dt = o.dtype
@@ -597,7 +690,22 @@ def compute_interaction(tables, hit, o, d, ray_diff=None):
         b2 = 1.0 - b0 - b1
         cols, lay = _tri_cols(tr, need_normals=not tri_flat, need_uv=uv_needed)
         rows = select_rows(cols, idx).astype(dt)
-        p0, p1, p2 = rows[:, lay["p0"]], rows[:, lay["p1"]], rows[:, lay["p2"]]
+        krows = None
+        if time is not None and "tri_keys" in tables:
+            # per-lane keyframe blend of [p0 p1 p2 n0 n1 n2] rows
+            from pbrt_tpu.ops.animated_intersect import time_weights
+
+            keys = tables["tri_keys"]
+            kw = time_weights(
+                jnp.broadcast_to(time, idx.shape).astype(dt), len(keys)
+            )
+            krows = 0.0
+            for k, kc in enumerate(keys):
+                krows = krows + kw[:, k:k + 1] * select_rows(kc, idx).astype(dt)
+        if krows is not None:
+            p0, p1, p2 = krows[:, 0:3], krows[:, 3:6], krows[:, 6:9]
+        else:
+            p0, p1, p2 = rows[:, lay["p0"]], rows[:, lay["p1"]], rows[:, lay["p2"]]
         mat_t = jnp.round(rows[:, lay["mat"]][:, 0]).astype(jnp.int32)
         light_t = jnp.round(rows[:, lay["light"]][:, 0]).astype(jnp.int32)
         med_in_t = jnp.round(rows[:, lay["med_in"]][:, 0]).astype(jnp.int32)
@@ -610,7 +718,10 @@ def compute_interaction(tables, hit, o, d, ray_diff=None):
             # build time), so interpolation and orientation are identities
             ns_t = ng_t
         else:
-            n0, n1, n2 = rows[:, lay["n0"]], rows[:, lay["n1"]], rows[:, lay["n2"]]
+            if krows is not None:
+                n0, n1, n2 = krows[:, 9:12], krows[:, 12:15], krows[:, 15:18]
+            else:
+                n0, n1, n2 = rows[:, lay["n0"]], rows[:, lay["n1"]], rows[:, lay["n2"]]
             ns_t = b2[..., None] * n0 + b0[..., None] * n1 + b1[..., None] * n2
             ns_norm = jnp.linalg.norm(ns_t, axis=-1, keepdims=True)
             ns_t = jnp.where(ns_norm > 1e-9, ns_t / jnp.maximum(ns_norm, 1e-12), ng_t)

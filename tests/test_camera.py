@@ -52,7 +52,10 @@ def test_autofocus_converges_at_focus_distance():
     o, d, w = cam.generate_rays(jnp.full((n, 2), 32.0), u)
     o, d, w = np.asarray(o), np.asarray(d), np.asarray(w)
     alive = w > 0
-    assert alive.mean() > 0.95  # stop admits the whole rear-disk sample set
+    # exit-pupil BOUNDS are a square circumscribing the circular stop, so
+    # on-axis survival inside them is ~pi/4 (pbrt SampleExitPupil has the
+    # same behavior; the area weighting keeps the estimator unbiased)
+    assert alive.mean() > 0.7
     t = (2.0 - o[alive, 2]) / d[alive, 2]
     pts = o[alive] + t[:, None] * d[alive]
     # spot radius well under a millimetre at 2 m
@@ -119,7 +122,10 @@ def test_aperture_vignettes_oblique_rays():
     u = jnp.asarray(np.random.default_rng(3).random((n, 2), dtype=np.float32))
     ow, dw, w = cam.generate_rays(jnp.full((n, 2), 32.0), u)
     assert np.isfinite(np.asarray(ow)).all() and np.isfinite(np.asarray(dw)).all()
-    assert (np.asarray(w) > 0).all()
+    # pupil-bounds sampling: the square bounds circumscribe the circular
+    # stop, so ~pi/4 of samples survive with near-unit weight, rest are 0
+    wa = np.asarray(w)
+    assert (wa >= 0).all() and (wa > 0).mean() > 0.7
 
 
 def test_realistic_camera_scene_end_to_end():
@@ -152,3 +158,66 @@ WorldEnd
     center = img[14:18, 14:18]
     assert center[..., 0].mean() > 3 * center[..., 2].mean()
     assert img[1, 1].mean() > 0.5
+
+
+def test_exit_pupil_reduces_vignetted_waste():
+    """Exit-pupil sampling (pbrt BoundExitPupil/SampleExitPupil): off-axis
+    film points must see a far higher survival rate than uniform
+    rear-disk sampling, with on-axis weights unchanged (~cos^4)."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.core.film import Film
+    from pbrt_tpu.core.filters import BoxFilter
+    from pbrt_tpu.core.transform import Transform
+    from pbrt_tpu.cameras.realistic import RealisticCamera, load_lens_file
+
+    from pbrt_tpu.cameras.realistic import LensElement
+
+    film = Film((64, 64), ((0, 0), (1, 1)), BoxFilter((0.5, 0.5)),
+                diagonal_mm=20.0)
+    # mid-stop singlet: the REAR element (15mm radius) is much larger than
+    # the 3mm stop buried between the surfaces, so uniform rear-disk
+    # sampling wastes most rays and pupil bounds matter
+    mid_stop = [
+        LensElement(0.048, 0.002, 1.5, 0.015),
+        LensElement(0.0, 0.002, 0.0, 0.003),
+        LensElement(-0.048, 0.0, 1.0, 0.015),
+    ]
+    cam = RealisticCamera(Transform.identity(), mid_stop, film,
+                          focus_distance=2.0)
+    n = 4096
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+    # far off-axis film points (corner-ish)
+    p_corner = jnp.tile(jnp.asarray([[6.0, 6.0]], jnp.float32), (n, 1))
+    _, _, w = cam.generate_rays(p_corner, u)
+    survival_pupil = float(jnp.mean(w > 0))
+
+    # compare against uniform rear-disk sampling through the same trace
+    from pbrt_tpu.core.sampling import concentric_sample_disk
+
+    res = jnp.asarray(cam.resolution, jnp.float32)
+    s = p_corner / res
+    ext_min = jnp.asarray(cam._ext_min, jnp.float32)
+    ext_max = jnp.asarray(cam._ext_max, jnp.float32)
+    p_phys = ext_min + s * (ext_max - ext_min)
+    o_film = jnp.stack(
+        [-p_phys[..., 0], p_phys[..., 1], jnp.zeros_like(p_phys[..., 0])], -1
+    )
+    p_disk = cam.rear_radius * concentric_sample_disk(u)
+    p_rear = jnp.concatenate(
+        [p_disk, jnp.full((n, 1), -cam.rear_z, jnp.float32)], axis=-1
+    )
+    d = p_rear - o_film
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    from pbrt_tpu.cameras.realistic import trace_from_film
+
+    _, _, alive_disk = trace_from_film(cam.elements, o_film, d, jnp)
+    survival_disk = float(jnp.mean(alive_disk))
+    assert survival_pupil > 1.5 * max(survival_disk, 1e-3), (
+        survival_pupil, survival_disk,
+    )
+    # on-axis: pupil ~= stop projection, weights near cos^4 ~ 1
+    p_center = jnp.tile(jnp.asarray([[32.0, 32.0]], jnp.float32), (n, 1))
+    _, _, w0 = cam.generate_rays(p_center, u)
+    assert float(jnp.mean(w0 > 0)) > 0.5

@@ -1,0 +1,93 @@
+"""MLT evidence beyond the smoke test (VERDICT r2 item 9).
+
+A specular caustic from a point light is the transport MLT exists for:
+unidirectional path tracing cannot sample it at all (NEE fails on the
+specular lobe, BSDF sampling cannot hit a delta light), so the caustic
+region under a glass sphere stays in shadow; BDPT's light-tracing (t=1)
+strategy renders it, and MLT — whose target is the full BDPT estimator —
+must reproduce it with correct b-normalization and a healthy Markov
+chain (acceptance neither frozen nor random-walk-degenerate).
+"""
+
+import numpy as np
+
+from pbrt_tpu import Options
+from pbrt_tpu.core.api import PbrtAPI
+from pbrt_tpu.render import Renderer, render_scene
+
+CAUSTIC = """
+LookAt 0 2.2 3.2  0 0.4 0  0 1 0
+Camera "perspective" "float fov" 45
+Sampler "halton" "integer pixelsamples" 8
+Integrator "{integ}" "integer maxdepth" 4
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+WorldBegin
+LightSource "point" "rgb I" [40 40 40] "point from" [0 3.0 0]
+Material "matte" "rgb Kd" [0.7 0.7 0.7]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -3 0 -3   3 0 -3   3 0 3   -3 0 3 ]
+AttributeBegin
+  Material "glass"
+  Translate 0 1.0 0
+  Shape "sphere" "float radius" 0.45
+AttributeEnd
+WorldEnd
+"""
+
+
+_CACHE = {}
+
+
+def _render(integ):
+    # renders shared across tests (the suite runs on 2-core CPU boxes)
+    if integ in _CACHE:
+        return _CACHE[integ]
+    api = PbrtAPI(Options(ray_batch=1 << 15), render_on_world_end=False)
+    api.init()
+    api.parse_string(CAUSTIC.format(integ=integ))
+    r = Renderer(api.scene, api.opt)
+    state = r.render(progress=False)
+    _CACHE[integ] = (np.asarray(r.film.to_rgb(state)), r)
+    return _CACHE[integ]
+
+
+def test_mlt_renders_caustic_path_cannot():
+    img_path, _ = _render("path")
+    img_bdpt, _ = _render("bdpt")
+    img_mlt, r_mlt = _render("mlt")
+    assert np.isfinite(img_mlt).all()
+
+    # the caustic focus under the sphere (image center-ish, floor)
+    cy, cx = 13, 12
+    c = (slice(cy - 2, cy + 3), slice(cx - 2, cx + 3))
+    c_bdpt = float(img_bdpt[c].mean())
+    c_path = float(img_path[c].mean())
+    c_mlt = float(img_mlt[c].mean())
+    # BDPT's light tracing finds the caustic; PT sees only the shadow
+    assert c_bdpt > 2.0 * c_path, (c_bdpt, c_path)
+    # MLT reproduces the hard transport BDPT finds
+    assert c_mlt > 2.0 * c_path, (c_mlt, c_path)
+    np.testing.assert_allclose(c_mlt, c_bdpt, rtol=0.35)
+
+    # b-normalization: whole-image brightness must agree with BDPT
+    np.testing.assert_allclose(img_mlt.mean(), img_bdpt.mean(), rtol=0.15)
+
+    # Markov-chain health: acceptance neither collapsed nor saturated
+    mlt = r_mlt.integrator
+    assert 0.05 < mlt.last_acceptance < 0.95, mlt.last_acceptance
+    assert mlt.last_b > 0.0
+
+
+def test_mlt_b_matches_bootstrap_luminance():
+    """b = E[f] over uniform primary samples is the average image
+    luminance of the target estimator — check against the BDPT render."""
+    img_bdpt, _ = _render("bdpt")
+    _, r_mlt = _render("mlt")
+    lum = (
+        0.212671 * img_bdpt[..., 0]
+        + 0.715160 * img_bdpt[..., 1]
+        + 0.072169 * img_bdpt[..., 2]
+    )
+    np.testing.assert_allclose(
+        r_mlt.integrator.last_b, float(lum.mean()), rtol=0.25
+    )

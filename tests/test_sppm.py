@@ -77,7 +77,7 @@ def test_sppm_glossy_gather_matches_path_tracer():
         return api
 
     api = render_g(
-        "sppm", '"integer numiterations" 24 "integer photonsperiteration" 16384'
+        "sppm", '"integer numiterations" 12 "integer photonsperiteration" 8192'
     )
     compiled = build_scene(api.scene, api.opt)
     assert SPPMIntegrator(compiled)._gather_full_bsdf, (

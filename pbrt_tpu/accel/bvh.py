@@ -137,9 +137,10 @@ class BVHIntersector:
             if use_pallas is None:
                 use_pallas = jax.default_backend() not in ("cpu",)
             if use_pallas:
-                # the packed Pallas kernel tests all 8 leaf slots as dense
-                # vector ops; deeper trees only add scalar-bound node steps
-                leaf_size = 8
+                # packed Pallas kernels test whole leaf rows as dense vector
+                # ops; the streaming kernel packs 16-tri leaves (2 rows) —
+                # fatter leaves halve the scalar-bound interior walk
+                leaf_size = 16 if self.n_tri >= STREAM_MIN_TRIS else 8
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )
@@ -172,7 +173,7 @@ class BVHIntersector:
                     self._pallas = StreamBVH(
                         mins, maxs, skips, firsts, counts,
                         tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
-                        interpret=pallas_interpret,
+                        interpret=pallas_interpret, leaf_slots=leaf_size,
                     )
                 else:
                     from pbrt_tpu.ops.pallas_bvh import PallasBVH2
@@ -256,7 +257,12 @@ class BVHIntersector:
         """Sort rays for packet coherence, run the Pallas kernel, unsort."""
         keys = self._sort_keys(o, d, t_max)
         order = jnp.argsort(keys)
-        inv = jnp.argsort(order)
+        # inverse permutation by scatter — measurably cheaper than a
+        # second 262k-key argsort (the sort pass was ~25% of traversal)
+        n = order.shape[0]
+        inv = jnp.zeros((n,), order.dtype).at[order].set(
+            jnp.arange(n, dtype=order.dtype), unique_indices=True
+        )
         t, prim, b0, b1 = self._pallas.traverse(
             o[order], d[order], t_max[order], any_hit=any_hit, remap=False
         )

@@ -95,39 +95,45 @@ def split_clusters(skips, firsts, counts, n_prims, target):
     return out
 
 
-def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2):
+def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
     """Pack one skip-link (sub)tree into the kernel layout (vectorized).
 
-    Returns (nodes_f [ni,16] f32, tris [n_leaves,128] f32, root i32,
-    slot_to_prim [n_leaves*8] i64 — local prim index per packed slot,
-    0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs are
-    negative ``-(first*2^6 + count + 1)`` with ``first`` 8-aligned, node
-    rows hold both children's boxes + refs + per-octant near-first bits.
+    Returns (nodes_f [ni,16] f32, tris [n_rows,128] f32, root i32,
+    slot_to_prim [n_leaves*leaf_slots] i64 — local prim index per packed
+    slot, 0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs
+    are negative ``-(first*2^6 + count + 1)`` with ``first``
+    leaf_slots-aligned (8 triangles per 128-lane row; leaf_slots=16 packs
+    a leaf across 2 consecutive rows — fewer, fatter leaves halve the
+    interior-node walk), node rows hold both children's boxes + refs +
+    per-octant near-first bits.
     """
     counts = np.asarray(counts)
     firsts = np.asarray(firsts)
     skips = np.asarray(skips)
-    assert counts.max(initial=0) <= _LEAF_SLOTS, "leaf_size must be <= 8"
+    assert leaf_slots % _LEAF_SLOTS == 0
+    assert counts.max(initial=0) <= leaf_slots <= (1 << _LEAF_COUNT_BITS) - 1
     leaf_nodes = np.nonzero(counts > 0)[0]
     n_leaves = max(len(leaf_nodes), 1)
-    tris = np.zeros((n_leaves, 128), dtype=np.float32)
-    slot_to_prim = np.zeros((n_leaves * _LEAF_SLOTS,), dtype=np.int64)
+    tris = np.zeros((n_leaves * (leaf_slots // _LEAF_SLOTS), 128), dtype=np.float32)
+    slot_to_prim = np.zeros((n_leaves * leaf_slots,), dtype=np.int64)
     padded_firsts = np.zeros_like(firsts)
     if len(leaf_nodes):
         lrow = np.arange(len(leaf_nodes))
-        padded_firsts[leaf_nodes] = lrow * _LEAF_SLOTS
+        padded_firsts[leaf_nodes] = lrow * leaf_slots
         f = firsts[leaf_nodes].astype(np.int64)
         cnt = counts[leaf_nodes].astype(np.int64)
-        l_ids = np.repeat(lrow, _LEAF_SLOTS)
-        s_ids = np.tile(np.arange(_LEAF_SLOTS), len(leaf_nodes))
+        l_ids = np.repeat(lrow, leaf_slots)
+        s_ids = np.tile(np.arange(leaf_slots), len(leaf_nodes))
         valid = s_ids < cnt[l_ids]
         prim = f[l_ids] + s_ids
-        slot_to_prim[l_ids * _LEAF_SLOTS + s_ids] = np.where(valid, prim, 0)
+        slot_to_prim[l_ids * leaf_slots + s_ids] = np.where(valid, prim, 0)
         lv, sv, pv = l_ids[valid], s_ids[valid], prim[valid]
+        rv = lv * (leaf_slots // _LEAF_SLOTS) + sv // _LEAF_SLOTS
+        cv = 16 * (sv % _LEAF_SLOTS)
         for c in range(3):
-            tris[lv, 16 * sv + 0 + c] = p0[pv, c]
-            tris[lv, 16 * sv + 3 + c] = p1[pv, c]
-            tris[lv, 16 * sv + 6 + c] = p2[pv, c]
+            tris[rv, cv + 0 + c] = p0[pv, c]
+            tris[rv, cv + 3 + c] = p1[pv, c]
+            tris[rv, cv + 6 + c] = p2[pv, c]
 
     if counts[0] > 0:  # whole (sub)tree is a single leaf
         root = np.int32(
@@ -174,7 +180,7 @@ def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2):
 
 
 def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
-               any_hit, prim_base):
+               any_hit, prim_base, leaf_slots=8):
     """Ordered near-first stack traversal of one packed tree.
 
     ``node_row(i) -> [16]`` and ``tri_row(r) -> [128]`` read uniform rows;
@@ -211,10 +217,14 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
             code = -ref - 1
             first = code >> _LEAF_COUNT_BITS
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
-            row = tri_row(first >> 3)  # [128]: 8 slots x 16 cols
-            for k in range(_LEAF_SLOTS):
+            rows = [
+                tri_row((first >> 3) + r)  # [128]: 8 slots x 16 cols
+                for r in range(leaf_slots // _LEAF_SLOTS)
+            ]
+            for k in range(leaf_slots):
+                row = rows[k // _LEAF_SLOTS]
                 pid = prim_base + first + k
-                c = 16 * k
+                c = 16 * (k % _LEAF_SLOTS)
                 p0x, p0y, p0z = row[c + 0], row[c + 1], row[c + 2]
                 e1x, e1y, e1z = row[c + 3] - p0x, row[c + 4] - p0y, row[c + 5] - p0z
                 e2x, e2y, e2z = row[c + 6] - p0x, row[c + 7] - p0y, row[c + 8] - p0z
@@ -299,7 +309,7 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                    t_out, prim_out, b0_out, b1_out,
                    stack_ref,
-                   *, any_hit: bool, slots_per_cluster: int):
+                   *, any_hit: bool, slots_per_cluster: int, leaf_slots: int):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -340,7 +350,7 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
             lambda i: nodes_ref[0, i],
             lambda r: tris_ref[0, r],
             root, (ox, oy, oz, dx, dy, dz), invs, octant, best,
-            stack_ref, any_hit, prim_base,
+            stack_ref, any_hit, prim_base, leaf_slots,
         )
         t_out[...], prim_out[...], b0_out[...], b1_out[...] = best
 
@@ -354,7 +364,9 @@ class StreamBVH:
 
     def __init__(self, mins, maxs, skips, firsts, counts,
                  tri_p0, tri_p1, tri_p2,
-                 target_tris: int | None = None, interpret: bool = False):
+                 target_tris: int | None = None, interpret: bool = False,
+                 leaf_slots: int = 8):
+        self.leaf_slots = int(leaf_slots)
         n_prims = len(tri_p0)
         if target_tris is None:
             target_tris = int(min(8192, max(1024, n_prims // 64)))
@@ -370,6 +382,7 @@ class StreamBVH:
                 _pack_tree(
                     mins[sl], maxs[sl], skips[sl] - i, firsts[sl] - lo,
                     counts[sl], tri_p0[lo:hi], tri_p1[lo:hi], tri_p2[lo:hi],
+                    leaf_slots=self.leaf_slots,
                 )
             )
 
@@ -379,7 +392,7 @@ class StreamBVH:
         all_nodes = np.zeros((c, nodes_pad, 16), dtype=np.float32)
         all_tris = np.zeros((c, leaves_pad, 128), dtype=np.float32)
         roots = np.zeros((c,), dtype=np.int32)
-        self.slots_per_cluster = leaves_pad * _LEAF_SLOTS
+        self.slots_per_cluster = leaves_pad * _LEAF_SLOTS  # leaves_pad counts 128-lane ROWS
         slot_to_prim = np.zeros((c * self.slots_per_cluster,), dtype=np.int64)
         for ci, ((i, lo, hi), (nf, tr, root, s2p)) in enumerate(zip(clusters, packs)):
             all_nodes[ci, : nf.shape[0]] = nf
@@ -505,6 +518,7 @@ class StreamBVH:
             _stream_kernel,
             any_hit=any_hit,
             slots_per_cluster=self.slots_per_cluster,
+            leaf_slots=self.leaf_slots,
         )
         t_r, prim_r, b0_r, b1_r = pl.pallas_call(
             kernel,

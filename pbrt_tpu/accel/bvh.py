@@ -41,11 +41,14 @@ from pbrt_tpu.ops.intersect_soa import SoABruteForceIntersector
 
 LEAF_SIZE = 4
 
-# above this triangle count the accelerator path uses the two-level
-# streaming kernel (ops/stream_bvh.py) — clusters live in HBM, the Pallas
-# pipeline DMAs candidates into VMEM; below it the whole packed tree fits
-# comfortably on-chip (ops/pallas_bvh.py)
+# above this triangle count the accelerator uses the two-level streaming
+# kernel (ops/stream_bvh.py): measured faster than the whole-tree kernel
+# even when the whole tree fits VMEM (per-block cluster culling trims the
+# walk), and it has no scene-size wall.  Below it the whole-tree kernel's
+# zero per-step machinery wins.
 STREAM_MIN_TRIS = 4096
+# retained for reference: whole-tree table cost is ~128 B/triangle in VMEM
+WHOLE_TREE_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
@@ -136,11 +139,12 @@ class BVHIntersector:
         if self.n_tri:
             if use_pallas is None:
                 use_pallas = jax.default_backend() not in ("cpu",)
+            use_stream = use_pallas and self.n_tri >= STREAM_MIN_TRIS
             if use_pallas:
                 # packed Pallas kernels test whole leaf rows as dense vector
                 # ops; the streaming kernel packs 16-tri leaves (2 rows) —
                 # fatter leaves halve the scalar-bound interior walk
-                leaf_size = 16 if self.n_tri >= STREAM_MIN_TRIS else 8
+                leaf_size = 16 if use_stream else 8
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )
@@ -164,7 +168,7 @@ class BVHIntersector:
             self.perm = jnp.asarray(perm.astype(np.int32))
             self.leaf_size = leaf_size
             if use_pallas:
-                if self.n_tri >= STREAM_MIN_TRIS:
+                if use_stream:
                     # two-level streaming path: top-level cluster culling in
                     # XLA, per-cluster tables DMA'd HBM->VMEM by the Pallas
                     # pipeline — no whole-tree VMEM wall (ops/stream_bvh.py)
@@ -184,7 +188,11 @@ class BVHIntersector:
                         interpret=pallas_interpret,
                     )
                 # fold slot -> permuted-prim into the original-id map so hit
-                # ids resolve with the single existing gather
+                # ids resolve with the single existing gather; keep the
+                # slot -> DFS map for post-kernel barycentric derivation
+                self._slot_to_dfs = jnp.asarray(
+                    self._pallas.slot_to_prim.astype(np.int32)
+                )
                 self.perm = jnp.asarray(
                     perm.astype(np.int32)[self._pallas.slot_to_prim]
                 )
@@ -254,7 +262,12 @@ class BVHIntersector:
         return key
 
     def _traverse_pallas_sorted(self, o, d, t_max, any_hit):
-        """Sort rays for packet coherence, run the Pallas kernel, unsort."""
+        """Sort rays for packet coherence, run the Pallas kernel, unsort.
+
+        Returns (t, slot): the kernel carries only (t, prim) — every extra
+        vector register in its loop state measured ~150x slower — so
+        barycentrics are derived afterwards (:meth:`_bary_from_hit`).
+        """
         keys = self._sort_keys(o, d, t_max)
         order = jnp.argsort(keys)
         # inverse permutation by scatter — measurably cheaper than a
@@ -263,15 +276,10 @@ class BVHIntersector:
         inv = jnp.zeros((n,), order.dtype).at[order].set(
             jnp.arange(n, dtype=order.dtype), unique_indices=True
         )
-        t, prim, b0, b1 = self._pallas.traverse(
+        t, prim = self._pallas.traverse(
             o[order], d[order], t_max[order], any_hit=any_hit, remap=False
         )
-        return t[inv], prim[inv], b0[inv], b1[inv]
-
-    def _traverse(self, o, d, t_max, any_hit: bool):
-        if self._pallas is not None:
-            return self._traverse_pallas_sorted(o, d, t_max, any_hit)
-        return self._traverse_xla(o, d, t_max, any_hit)
+        return t[inv], prim[inv]
 
     def _traverse_xla(self, o, d, t_max, any_hit: bool):
         n = o.shape[0]
@@ -366,7 +374,11 @@ class BVHIntersector:
         node, best_t, best_prim, b0, b1 = jax.lax.while_loop(cond, body, init)
         return best_t, best_prim, b0, b1
 
-    def intersect(self, o, d, t_max):
+    # integrators may pass sort=False for wavefronts that are already
+    # coherent in lane order (camera bounces: lanes are pixel-major)
+    supports_sort_hint = True
+
+    def intersect(self, o, d, t_max, sort=True):
         n = o.shape[0]
         best_t = jnp.broadcast_to(t_max, (n,)).astype(o.dtype)
         best_kind = jnp.full((n,), KIND_NONE, dtype=jnp.int32)
@@ -374,14 +386,27 @@ class BVHIntersector:
         best_b0 = jnp.zeros((n,), dtype=o.dtype)
         best_b1 = jnp.zeros((n,), dtype=o.dtype)
 
+        bary = True
         if self.n_tri:
-            t, prim, b0, b1 = self._traverse(o, d, best_t, any_hit=False)
+            if self._pallas is not None:
+                if sort:
+                    t, prim = self._traverse_pallas_sorted(
+                        o, d, best_t, any_hit=False
+                    )
+                else:
+                    t, prim = self._pallas.traverse(
+                        o, d, best_t, any_hit=False, remap=False
+                    )
+                bary = False  # compute_interaction re-derives from its rows
+            else:
+                t, prim, b0, b1 = self._traverse_xla(o, d, best_t, any_hit=False)
             got = prim >= 0
             best_t = jnp.where(got, t, best_t)
             best_kind = jnp.where(got, KIND_TRI, best_kind)
             best_prim = jnp.where(got, self.perm[jnp.maximum(prim, 0)], best_prim)
-            best_b0 = jnp.where(got, b0, best_b0)
-            best_b1 = jnp.where(got, b1, best_b1)
+            if bary:
+                best_b0 = jnp.where(got, b0, best_b0)
+                best_b1 = jnp.where(got, b1, best_b1)
 
         if self.n_sph:
             sph = self._sph_brute.intersect(o, d, best_t)
@@ -396,16 +421,29 @@ class BVHIntersector:
             "hit": hit,
             "kind": best_kind,
             "prim": best_prim,
-            "b0": best_b0,
-            "b1": best_b1,
+            # None = derive from the hit triangle (the Pallas walks carry
+            # only (t, prim); compute_interaction projects p onto the dual
+            # basis of its already-gathered edges — zero extra gathers)
+            "b0": best_b0 if bary else None,
+            "b1": best_b1 if bary else None,
         }
 
-    def occluded(self, o, d, t_max):
+    def occluded(self, o, d, t_max, sort=True):
         n = o.shape[0]
         t_max = jnp.broadcast_to(t_max, (n,)).astype(o.dtype)
         found = jnp.zeros((n,), dtype=bool)
         if self.n_tri:
-            _, prim, _, _ = self._traverse(o, d, t_max, any_hit=True)
+            if self._pallas is not None:
+                if sort:
+                    _, prim = self._traverse_pallas_sorted(
+                        o, d, t_max, any_hit=True
+                    )
+                else:
+                    _, prim = self._pallas.traverse(
+                        o, d, t_max, any_hit=True, remap=False
+                    )
+            else:
+                _, prim, _, _ = self._traverse_xla(o, d, t_max, any_hit=True)
             found = prim >= 0
         if self.n_sph:
             found = found | self._sph_brute.occluded(o, d, t_max)

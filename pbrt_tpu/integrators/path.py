@@ -64,14 +64,18 @@ class PathIntegrator:
             compiled.tables.get("_flags", {}).get("animated_keys", 0)
         )
 
-    def _intersect(self, o, d, t_max, time):
+    def _intersect(self, o, d, t_max, time, sort=True):
         if self._animated:
             return self.c.intersector.intersect(o, d, t_max, time=time)
+        if not sort and getattr(self.c.intersector, "supports_sort_hint", False):
+            return self.c.intersector.intersect(o, d, t_max, sort=False)
         return self.c.intersector.intersect(o, d, t_max)
 
-    def _occluded(self, o, d, t_max, time):
+    def _occluded(self, o, d, t_max, time, sort=True):
         if self._animated:
             return self.c.intersector.occluded(o, d, t_max, time=time)
+        if not sort and getattr(self.c.intersector, "supports_sort_hint", False):
+            return self.c.intersector.occluded(o, d, t_max, sort=False)
         return self.c.intersector.occluded(o, d, t_max)
 
     # -- light plumbing ----------------------------------------------------
@@ -206,7 +210,10 @@ class PathIntegrator:
                 sampler.get(pixel_xy, sample_index, 4) if self._animated else None
             )
             t_far = jnp.where(alive, INF_T, 0.0).astype(dt)
-            hit = self._intersect(o, d, t_far, time)
+            # camera rays arrive pixel-major (already a coherent sweep):
+            # skip the Morton sort for bounce 0 — the argsort + gathers
+            # cost ~15 ms per 262k-lane wavefront on chip
+            hit = self._intersect(o, d, t_far, time, sort=bounce > 0)
 
             # --- escaped rays: environment radiance with MIS -------------
             esc = alive & ~hit["hit"]

@@ -228,10 +228,14 @@ def _ordered_kernel(
     ox_ref, oy_ref, oz_ref,
     dx_ref, dy_ref, dz_ref,
     tmax_ref,
-    t_out, prim_out, b0_out, b1_out,
+    t_out, prim_out,
     stack_ref,
     *, any_hit: bool,
 ):
+    # NOTE: the walk carries ONLY (t, prim) — every additional (8,128)
+    # register in the cond/while state was measured at ~150x whole-kernel
+    # slowdown (per-iteration vreg spills); barycentrics are re-derived
+    # outside the kernel (accel/bvh.py _bary_from_hit)
     ox = ox_ref[...]
     oy = oy_ref[...]
     oz = oz_ref[...]
@@ -274,11 +278,11 @@ def _ordered_kernel(
         return t_near, hit
 
     def body(state):
-        ref, sp, best_t, best_prim, b0a, b1a = state
+        ref, sp, best_t, best_prim = state
         is_leaf = ref < 0
 
         def leaf_branch(carry):
-            best_t, best_prim, b0a, b1a = carry
+            best_t, best_prim = carry
             code = -ref - 1
             first = code >> _LEAF_COUNT_BITS
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
@@ -313,16 +317,14 @@ def _ordered_kernel(
                     & (tt < best_t)
                 )
                 best_prim = jnp.where(ok, pid, best_prim)
-                b0a = jnp.where(ok, b0, b0a)
-                b1a = jnp.where(ok, b1, b1a)
                 best_t = jnp.where(ok, tt, best_t)
             # leaves always pop
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
-                    best_t, best_prim, b0a, b1a)
+                    best_t, best_prim)
 
         def interior_branch(carry):
-            best_t, best_prim, b0a, b1a = carry
+            best_t, best_prim = carry
             node = jnp.maximum(ref, 0)
             nf = nodes_f_ref[node]
             tn_l, hit_l = slab(nf, 0, best_t)
@@ -345,11 +347,11 @@ def _ordered_kernel(
             need_pop = jnp.logical_not(any_l | any_r)
             return (jnp.where(need_pop, 0, nxt).astype(jnp.int32),
                     far.astype(jnp.int32),
-                    both, need_pop, best_t, best_prim, b0a, b1a)
+                    both, need_pop, best_t, best_prim)
 
-        nxt, far, do_push, need_pop, best_t, best_prim, b0a, b1a = jax.lax.cond(
+        nxt, far, do_push, need_pop, best_t, best_prim = jax.lax.cond(
             is_leaf, leaf_branch, interior_branch,
-            (best_t, best_prim, b0a, b1a),
+            (best_t, best_prim),
         )
 
         @pl.when(do_push)
@@ -366,7 +368,7 @@ def _ordered_kernel(
         sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
         if any_hit:
             nxt = jnp.where(jnp.all(best_prim >= 0), _DONE, nxt)
-        return nxt, sp, best_t, best_prim, b0a, b1a
+        return nxt, sp, best_t, best_prim
 
     def cond(state):
         return state[0] != _DONE
@@ -376,14 +378,10 @@ def _ordered_kernel(
         jnp.int32(0),
         t0,
         jnp.full(t0.shape, -1, dtype=jnp.int32),
-        jnp.zeros(t0.shape, dtype=jnp.float32),
-        jnp.zeros(t0.shape, dtype=jnp.float32),
     )
-    _, _, best_t, best_prim, b0a, b1a = jax.lax.while_loop(cond, body, init)
+    _, _, best_t, best_prim = jax.lax.while_loop(cond, body, init)
     t_out[...] = best_t
     prim_out[...] = best_prim
-    b0_out[...] = b0a
-    b1_out[...] = b1a
 
 
 class PallasBVH2:
@@ -469,7 +467,8 @@ class PallasBVH2:
         self.vmem_bytes = nodes_f.shape[0] * 128 * 4 + tris.nbytes
 
     def traverse(self, o, d, t_max, any_hit=False, remap=True):
-        """o, d: [N,3]; t_max: [N].  Returns (t, prim, b0, b1).
+        """o, d: [N,3]; t_max: [N].  Returns (t, prim); barycentrics are
+        derived by the caller from the winning triangle.
 
         ``remap=False`` returns raw 8-aligned leaf-slot ids (callers that
         fold ``slot_to_prim`` into their own prim permutation).
@@ -501,16 +500,14 @@ class PallasBVH2:
         )
         shape = (g * BLOCK_SUB, BLOCK_LANE)
         kernel = functools.partial(_ordered_kernel, any_hit=any_hit)
-        t_r, prim_r, b0_r, b1_r = pl.pallas_call(
+        t_r, prim_r = pl.pallas_call(
             kernel,
             grid=(g,),
             in_specs=table_specs + root_spec + ray_specs,
-            out_specs=(out_spec, out_spec, out_spec, out_spec),
+            out_specs=(out_spec, out_spec),
             out_shape=(
                 jax.ShapeDtypeStruct(shape, jnp.float32),
                 jax.ShapeDtypeStruct(shape, jnp.int32),
-                jax.ShapeDtypeStruct(shape, jnp.float32),
-                jax.ShapeDtypeStruct(shape, jnp.float32),
             ),
             scratch_shapes=[pltpu.SMEM((_STACK_DEPTH,), jnp.int32)],
             interpret=self.interpret,
@@ -523,16 +520,14 @@ class PallasBVH2:
             comp(t_max),
         )
         flat = lambda x: x.reshape(-1)[:n]
-        t_r, prim_r, b0_r, b1_r = (
-            flat(t_r), flat(prim_r), flat(b0_r), flat(b1_r)
-        )
+        t_r, prim_r = flat(t_r), flat(prim_r)
         if remap:
             prim_r = jnp.where(
                 prim_r >= 0,
                 self.slot_to_prim_j[jnp.maximum(prim_r, 0)],
                 prim_r,
             )
-        return t_r, prim_r, b0_r, b1_r
+        return t_r, prim_r
 
 
 class PallasBVH:

@@ -184,8 +184,12 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
     """Ordered near-first stack traversal of one packed tree.
 
     ``node_row(i) -> [16]`` and ``tri_row(r) -> [128]`` read uniform rows;
-    ``best = (best_t, best_prim, b0, b1)`` is folded into and returned;
-    recorded prim ids are ``prim_base + packed_slot``.
+    ``best = (best_t, best_prim)`` is folded into and returned; recorded
+    prim ids are ``prim_base + packed_slot``.  The walk carries ONLY
+    (t, prim): every extra (8,128) register in the cond/while state was
+    measured at ~150x whole-kernel slowdown (Mosaic spills the carried
+    vregs per iteration), so barycentrics are re-derived OUTSIDE the
+    kernel from the winning triangle (accel/bvh.py _bary_from_hit).
     """
     ox, oy, oz, dx, dy, dz = rays
     inv_x, inv_y, inv_z = invs
@@ -209,11 +213,11 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
         return t_near, hit
 
     def body(state):
-        ref, sp, best_t, best_prim, b0a, b1a = state
+        ref, sp, best_t, best_prim = state
         is_leaf = ref < 0
 
         def leaf_branch(carry):
-            best_t, best_prim, b0a, b1a = carry
+            best_t, best_prim = carry
             code = -ref - 1
             first = code >> _LEAF_COUNT_BITS
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
@@ -252,15 +256,13 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
                     & (tt < best_t)
                 )
                 best_prim = jnp.where(ok, pid, best_prim)
-                b0a = jnp.where(ok, b0, b0a)
-                b1a = jnp.where(ok, b1, b1a)
                 best_t = jnp.where(ok, tt, best_t)
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
-                    best_t, best_prim, b0a, b1a)
+                    best_t, best_prim)
 
         def interior_branch(carry):
-            best_t, best_prim, b0a, b1a = carry
+            best_t, best_prim = carry
             node = jnp.maximum(ref, 0)
             nf = node_row(node)
             tn_l, hit_l = slab(nf, 0, best_t)
@@ -277,10 +279,10 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
             need_pop = jnp.logical_not(any_l | any_r)
             return (jnp.where(need_pop, 0, nxt).astype(jnp.int32),
                     far.astype(jnp.int32),
-                    both, need_pop, best_t, best_prim, b0a, b1a)
+                    both, need_pop, best_t, best_prim)
 
-        nxt, far, do_push, need_pop, best_t, best_prim, b0a, b1a = jax.lax.cond(
-            is_leaf, leaf_branch, interior_branch, (best_t, best_prim, b0a, b1a)
+        nxt, far, do_push, need_pop, best_t, best_prim = jax.lax.cond(
+            is_leaf, leaf_branch, interior_branch, (best_t, best_prim)
         )
 
         @pl.when(do_push)
@@ -294,20 +296,20 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
         sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
         if any_hit:
             nxt = jnp.where(jnp.all(best_prim >= 0), _DONE, nxt)
-        return nxt, sp, best_t, best_prim, b0a, b1a
+        return nxt, sp, best_t, best_prim
 
     def cond(state):
         return state[0] != _DONE
 
     init = (root, jnp.int32(0)) + tuple(best)
     out = jax.lax.while_loop(cond, body, init)
-    return out[2], out[3], out[4], out[5]
+    return out[2], out[3]
 
 
 def _stream_kernel(cl_ref, cn_ref, rt_ref,
                    nodes_ref, tris_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                   t_out, prim_out, b0_out, b1_out,
+                   t_out, prim_out,
                    stack_ref,
                    *, any_hit: bool, slots_per_cluster: int, leaf_slots: int):
     k = pl.program_id(1)
@@ -316,8 +318,6 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
     def _():
         t_out[...] = tmax_ref[...]
         prim_out[...] = jnp.full(prim_out.shape, -1, jnp.int32)
-        b0_out[...] = jnp.zeros(b0_out.shape, jnp.float32)
-        b1_out[...] = jnp.zeros(b1_out.shape, jnp.float32)
 
     b = pl.program_id(0)
     active = k < cn_ref[b]
@@ -345,14 +345,14 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
             + (dy[0, 0] < 0).astype(jnp.int32) * 2
             + (dz[0, 0] < 0).astype(jnp.int32)
         )
-        best = (t_out[...], prim_out[...], b0_out[...], b1_out[...])
+        best = (t_out[...], prim_out[...])
         best = _walk_tree(
             lambda i: nodes_ref[0, i],
             lambda r: tris_ref[0, r],
             root, (ox, oy, oz, dx, dy, dz), invs, octant, best,
             stack_ref, any_hit, prim_base, leaf_slots,
         )
-        t_out[...], prim_out[...], b0_out[...], b1_out[...] = best
+        t_out[...], prim_out[...] = best
 
 
 class StreamBVH:
@@ -369,7 +369,10 @@ class StreamBVH:
         self.leaf_slots = int(leaf_slots)
         n_prims = len(tri_p0)
         if target_tris is None:
-            target_tris = int(min(8192, max(1024, n_prims // 64)))
+            # big clusters: every (block, cluster) grid step costs ~0.6us
+            # of pipeline machinery, so fewer/fatter clusters win as long
+            # as two cluster buffers fit VMEM comfortably
+            target_tris = int(min(16384, max(4096, n_prims // 64)))
         clusters = split_clusters(skips, firsts, counts, n_prims, target_tris)
         skips = np.asarray(skips)
         firsts = np.asarray(firsts)
@@ -464,7 +467,9 @@ class StreamBVH:
     # -- phase B: streamed traversal ---------------------------------------
 
     def traverse(self, o, d, t_max, any_hit=False, remap=True):
-        """o, d: [N,3]; t_max: [N].  Returns (t, prim, b0, b1).
+        """o, d: [N,3]; t_max: [N].  Returns (t, prim) — barycentrics are
+        derived by the caller from the winning triangle (carrying them
+        through the walk costs ~150x, see _walk_tree).
 
         ``remap=False`` returns raw cluster-slot ids (callers that fold
         ``slot_to_prim`` into their own prim permutation)."""
@@ -510,7 +515,7 @@ class StreamBVH:
                     lambda b, k, cl, cn, rt: (b, 0),
                     memory_space=pltpu.VMEM,
                 )
-                for _ in range(4)
+                for _ in range(2)
             ),
             scratch_shapes=[pltpu.SMEM((_STACK_DEPTH,), jnp.int32)],
         )
@@ -520,14 +525,12 @@ class StreamBVH:
             slots_per_cluster=self.slots_per_cluster,
             leaf_slots=self.leaf_slots,
         )
-        t_r, prim_r, b0_r, b1_r = pl.pallas_call(
+        t_r, prim_r = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct(shape, jnp.float32),
                 jax.ShapeDtypeStruct(shape, jnp.int32),
-                jax.ShapeDtypeStruct(shape, jnp.float32),
-                jax.ShapeDtypeStruct(shape, jnp.float32),
             ),
             interpret=self.interpret,
         )(
@@ -541,11 +544,11 @@ class StreamBVH:
         def flat(x):
             return x.reshape(-1)[:n]
 
-        t_r, prim_r, b0_r, b1_r = flat(t_r), flat(prim_r), flat(b0_r), flat(b1_r)
+        t_r, prim_r = flat(t_r), flat(prim_r)
         if remap:
             prim_r = jnp.where(
                 prim_r >= 0,
                 self.slot_to_prim_j[jnp.maximum(prim_r, 0)],
                 prim_r,
             )
-        return t_r.astype(o.dtype), prim_r, b0_r.astype(o.dtype), b1_r.astype(o.dtype)
+        return t_r.astype(o.dtype), prim_r

@@ -685,9 +685,6 @@ def compute_interaction(tables, hit, o, d, ray_diff=None, time=None):
         tr = tables["tri"]
         idx = jnp.clip(hit["prim"], 0, tr["p0"].shape[0] - 1)
         is_tri = hit["hit"] & (hit["kind"] == KIND_TRI)
-        b0 = hit["b0"]
-        b1 = hit["b1"]
-        b2 = 1.0 - b0 - b1
         cols, lay = _tri_cols(tr, need_normals=not tri_flat, need_uv=uv_needed)
         rows = select_rows(cols, idx).astype(dt)
         krows = None
@@ -706,6 +703,27 @@ def compute_interaction(tables, hit, o, d, ray_diff=None, time=None):
             p0, p1, p2 = krows[:, 0:3], krows[:, 3:6], krows[:, 6:9]
         else:
             p0, p1, p2 = rows[:, lay["p0"]], rows[:, lay["p1"]], rows[:, lay["p2"]]
+        b0 = hit["b0"]
+        b1 = hit["b1"]
+        if b0 is None:
+            # the Pallas walks return only (t, prim): project the hit point
+            # onto the dual basis of (e1, e2) from the rows gathered above
+            e1 = p1 - p0
+            e2 = p2 - p0
+            v = p - p0
+            E = jnp.sum(e1 * e1, axis=-1)
+            F = jnp.sum(e1 * e2, axis=-1)
+            G = jnp.sum(e2 * e2, axis=-1)
+            det_b = E * G - F * F
+            inv_b = jnp.where(
+                jnp.abs(det_b) > 1e-20,
+                1.0 / jnp.where(det_b == 0, 1.0, det_b), 0.0,
+            )
+            ve1 = jnp.sum(v * e1, axis=-1)
+            ve2 = jnp.sum(v * e2, axis=-1)
+            b0 = (G * ve1 - F * ve2) * inv_b
+            b1 = (E * ve2 - F * ve1) * inv_b
+        b2 = 1.0 - b0 - b1
         mat_t = jnp.round(rows[:, lay["mat"]][:, 0]).astype(jnp.int32)
         light_t = jnp.round(rows[:, lay["light"]][:, 0]).astype(jnp.int32)
         med_in_t = jnp.round(rows[:, lay["med_in"]][:, 0]).astype(jnp.int32)

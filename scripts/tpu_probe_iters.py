@@ -35,7 +35,7 @@ from pbrt_tpu.testscenes import torus_triangle_data
 def _counting_kernel(nodes_ref, tris_ref, root_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                      t_out, prim_out, iters_out, leafs_out,
-                     stack_ref, *, leaf_slots):
+                     stack_ref, *, leaf_slots, carry_bary=False):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     inv_x, inv_y, inv_z = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
@@ -57,11 +57,18 @@ def _counting_kernel(nodes_ref, tris_ref, root_ref,
         return tn, (tn <= tf) & (tf > RAY_EPS) & (tn < best_t)
 
     def body(state):
-        ref, sp, best_t, best_prim, iters, leafs = state
+        if carry_bary:
+            ref, sp, best_t, best_prim, iters, leafs, b0a, b1a = state
+        else:
+            ref, sp, best_t, best_prim, iters, leafs = state
+            b0a = b1a = None
         is_leaf = ref < 0
 
         def leaf_branch(carry):
-            best_t, best_prim = carry
+            if carry_bary:
+                best_t, best_prim, b0a, b1a = carry
+            else:
+                best_t, best_prim = carry
             code = -ref - 1
             first = code >> _LEAF_COUNT_BITS
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
@@ -92,12 +99,21 @@ def _counting_kernel(nodes_ref, tris_ref, root_ref,
                       & (tt < best_t))
                 best_prim = jnp.where(ok, pid, best_prim)
                 best_t = jnp.where(ok, tt, best_t)
+                if carry_bary:
+                    b0a = jnp.where(ok, b0, b0a)
+                    b1a = jnp.where(ok, b1, b1a)
             zero = jnp.int32(0)
+            if carry_bary:
+                return (zero, zero, jnp.bool_(False), jnp.bool_(True),
+                        best_t, best_prim, b0a, b1a)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
                     best_t, best_prim)
 
         def interior_branch(carry):
-            best_t, best_prim = carry
+            if carry_bary:
+                best_t, best_prim, b0a, b1a = carry
+            else:
+                best_t, best_prim = carry
             node = jnp.maximum(ref, 0)
             nf = nodes_ref[node]
             _, hit_l = slab(nf, 0, best_t)
@@ -112,11 +128,20 @@ def _counting_kernel(nodes_ref, tris_ref, root_ref,
             both = any_l & any_r
             nxt = jnp.where(both, near, jnp.where(any_l, l_ref, r_ref))
             need_pop = jnp.logical_not(any_l | any_r)
+            if carry_bary:
+                return (jnp.where(need_pop, 0, nxt).astype(jnp.int32),
+                        far.astype(jnp.int32), both, need_pop,
+                        best_t, best_prim, b0a, b1a)
             return (jnp.where(need_pop, 0, nxt).astype(jnp.int32),
                     far.astype(jnp.int32), both, need_pop, best_t, best_prim)
 
-        nxt, far, do_push, need_pop, best_t, best_prim = jax.lax.cond(
-            is_leaf, leaf_branch, interior_branch, (best_t, best_prim))
+        if carry_bary:
+            (nxt, far, do_push, need_pop, best_t, best_prim, b0a, b1a
+             ) = jax.lax.cond(is_leaf, leaf_branch, interior_branch,
+                              (best_t, best_prim, b0a, b1a))
+        else:
+            nxt, far, do_push, need_pop, best_t, best_prim = jax.lax.cond(
+                is_leaf, leaf_branch, interior_branch, (best_t, best_prim))
 
         @pl.when(do_push)
         def _():
@@ -127,20 +152,26 @@ def _counting_kernel(nodes_ref, tris_ref, root_ref,
         empty = sp <= 0
         nxt = jnp.where(need_pop, jnp.where(empty, _DONE, popped), nxt)
         sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
+        if carry_bary:
+            return (nxt, sp, best_t, best_prim, iters + 1,
+                    leafs + is_leaf.astype(jnp.int32), b0a, b1a)
         return (nxt, sp, best_t, best_prim, iters + 1,
                 leafs + is_leaf.astype(jnp.int32))
 
     init = (root_ref[0], jnp.int32(0), tmax_ref[...],
             jnp.full(tmax_ref.shape, -1, jnp.int32), jnp.int32(0), jnp.int32(0))
-    _, _, best_t, best_prim, iters, leafs = jax.lax.while_loop(
-        lambda s: s[0] != _DONE, body, init)
+    if carry_bary:
+        init = init + (jnp.zeros(tmax_ref.shape, jnp.float32),
+                       jnp.zeros(tmax_ref.shape, jnp.float32))
+    out = jax.lax.while_loop(lambda s: s[0] != _DONE, body, init)
+    _, _, best_t, best_prim, iters, leafs = out[:6]
     t_out[...] = best_t
     prim_out[...] = best_prim
     iters_out[...] = jnp.full(iters_out.shape, iters, jnp.int32)
     leafs_out[...] = jnp.full(leafs_out.shape, leafs, jnp.int32)
 
 
-def run(leaf_slots, mesh, sorter, o, d, tm, reps=5):
+def run(leaf_slots, mesh, sorter, o, d, tm, reps=5, carry_bary=False):
     mins, maxs, skips, firsts, counts, perm = build_bvh(
         mesh.p0, mesh.p1, mesh.p2, leaf_size=leaf_slots)
     nodes_f, tris, root, _ = _pack_tree(
@@ -149,6 +180,7 @@ def run(leaf_slots, mesh, sorter, o, d, tm, reps=5):
     keys = sorter._sort_keys(o, d, tm)
     order = jnp.argsort(keys)
     os_, ds_, tms = o[order], d[order], tm[order]
+    os_, ds_, tms = map(jax.block_until_ready, (os_, ds_, tms))
     n = o.shape[0]
     g = n // BLOCK
 
@@ -161,7 +193,8 @@ def run(leaf_slots, mesh, sorter, o, d, tm, reps=5):
                             memory_space=pltpu.VMEM)
     shape = (g * BLOCK_SUB, BLOCK_LANE)
     fn = jax.jit(lambda *a: pl.pallas_call(
-        functools.partial(_counting_kernel, leaf_slots=leaf_slots),
+        functools.partial(_counting_kernel, leaf_slots=leaf_slots,
+                          carry_bary=carry_bary),
         grid=(g,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] + [ray_spec] * 7,
@@ -180,9 +213,14 @@ def run(leaf_slots, mesh, sorter, o, d, tm, reps=5):
             comp(ds_[:, 0]), comp(ds_[:, 1]), comp(ds_[:, 2]), comp(tms))
     out = fn(*args)
     jax.block_until_ready(out[0])
+    # vary tmax per rep: identical-arg repeats appear to be served from a
+    # result cache somewhere in the remote-execution stack
+    variants = [
+        args[:9] + (comp(tms * (1.0 + 1e-6 * i)),) for i in range(1, reps + 1)
+    ]
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
+    for a in variants:
+        out = fn(*a)
     jax.block_until_ready(out[0])
     dt = (time.time() - t0) / reps
     iters = np.asarray(out[2])[::BLOCK_SUB, 0]  # per block
@@ -193,6 +231,7 @@ def run(leaf_slots, mesh, sorter, o, d, tm, reps=5):
           f"{tot_it} iters ({tot_lf} leaf visits, "
           f"{iters.mean():.0f}/block), {dt/max(tot_it,1)*1e9:.0f} ns/iter, "
           f"nodes {nodes_f.shape[0]}", flush=True)
+    return np.asarray(out[1])
 
 
 def main():
@@ -207,9 +246,9 @@ def main():
     o, d = jnp.asarray(o), jnp.asarray(d)
     tm = jnp.full((n,), 1e8, jnp.float32)
     print("device:", jax.devices()[0], flush=True)
-    run(8, td, sorter, o, d, tm)
-    run(16, td, sorter, o, d, tm)
-    run(32, td, sorter, o, d, tm)
+    a = run(8, td, sorter, o, d, tm)
+    b = run(8, td, sorter, o, d, tm, carry_bary=True)
+    print("prims match:", bool((a == b).all()), flush=True)
 
 
 if __name__ == "__main__":

@@ -194,7 +194,7 @@ def test_ordered_pallas_kernel_matches_brute():
     brute = BruteForceIntersector(tri, None)
     o, d = random_rays(2048, seed=11)
     tm = jnp.full((2048,), 1e8, jnp.float32)
-    t, prim, b0, b1 = k.traverse(o, d, tm)
+    t, prim = k.traverse(o, d, tm)
     hb = jax.jit(brute.intersect)(o, d, tm)
     hit = np.asarray(prim) >= 0
     np.testing.assert_array_equal(np.asarray(hb["hit"]), hit)
@@ -205,7 +205,7 @@ def test_ordered_pallas_kernel_matches_brute():
         np.asarray(hb["prim"])[hit], np.asarray(perm)[np.asarray(prim)[hit]]
     )
     # any-hit agrees on occlusion
-    _, prim_any, _, _ = k.traverse(o, d, tm, any_hit=True)
+    _, prim_any = k.traverse(o, d, tm, any_hit=True)
     np.testing.assert_array_equal(np.asarray(prim_any) >= 0, hit)
 
 
@@ -222,7 +222,7 @@ def test_ordered_pallas_kernel_single_leaf():
     brute = BruteForceIntersector(tri, None)
     o, d = random_rays(512, seed=12)
     tm = jnp.full((512,), 1e8, jnp.float32)
-    t, prim, _, _ = k.traverse(o, d, tm)
+    t, prim = k.traverse(o, d, tm)
     hb = jax.jit(brute.intersect)(o, d, tm)
     np.testing.assert_array_equal(np.asarray(hb["hit"]), np.asarray(prim) >= 0)
 
@@ -249,7 +249,7 @@ def test_stream_bvh_multi_cluster_matches_brute():
     assert k.n_clusters > 4
     o, d = random_rays(2048, seed=22)
     tm = jnp.full((2048,), 1e8, jnp.float32)
-    t, prim, b0, b1 = k.traverse(o, d, tm)
+    t, prim = k.traverse(o, d, tm)
     hb = _brute_ref(tri, o, d, tm)
     hit = np.asarray(prim) >= 0
     np.testing.assert_array_equal(np.asarray(hb["hit"]), hit)
@@ -260,7 +260,7 @@ def test_stream_bvh_multi_cluster_matches_brute():
         np.asarray(hb["prim"])[hit], np.asarray(perm)[np.asarray(prim)[hit]]
     )
     # any-hit finds exactly the occluded set
-    _, prim_any, _, _ = k.traverse(o, d, tm, any_hit=True)
+    _, prim_any = k.traverse(o, d, tm, any_hit=True)
     np.testing.assert_array_equal(np.asarray(prim_any) >= 0, hit)
 
 
@@ -281,7 +281,7 @@ def test_stream_bvh_single_cluster_and_dead_lanes():
     tm = jnp.full((1024,), 1e8, jnp.float32)
     # half the lanes are dead (t_max = 0): they must report no hit
     tm = tm.at[::2].set(0.0)
-    t, prim, _, _ = k.traverse(o, d, tm)
+    t, prim = k.traverse(o, d, tm)
     assert not np.any(np.asarray(prim)[::2] >= 0)
     hb = _brute_ref(tri, o, d, tm)
     live = np.ones(1024, bool)
@@ -295,9 +295,10 @@ def test_stream_bvh_single_cluster_and_dead_lanes():
     )
 
 
-def test_bvh_intersector_stream_path_matches_brute():
-    """Above STREAM_MIN_TRIS the accelerator routes through StreamBVH;
-    the full intersect/occluded interface must agree with brute force."""
+def test_bvh_intersector_stream_path_matches_brute(monkeypatch):
+    """Past the whole-tree VMEM budget the accelerator routes through
+    StreamBVH; the full intersect/occluded interface must agree with
+    brute force."""
     tri = random_mesh(5000, seed=25)
     bvh = BVHIntersector(tri, None, use_pallas=True, pallas_interpret=True)
     from pbrt_tpu.ops.stream_bvh import StreamBVH
@@ -333,3 +334,75 @@ def test_split_clusters_partitions_prims():
     for (a, b), (c2, d2) in zip(spans, spans[1:]):
         assert b == c2  # contiguous, non-overlapping
     assert all(hi - lo <= 128 or counts[i] > 0 for (i, lo, hi) in cl)
+
+
+def test_stream_path_uv_bary_parity():
+    """Full textured render through the interpret-mode streaming kernel:
+    the post-kernel barycentric derivation (compute_interaction dual-basis
+    projection) must reproduce the brute-force images — uv-dependent
+    checkerboard shading included."""
+    from pbrt_tpu import Options
+    from pbrt_tpu.core.api import PbrtAPI
+    from pbrt_tpu.render import Renderer
+    from pbrt_tpu.testscenes import _torus_mesh_params
+
+    api = PbrtAPI(Options(ray_batch=4096), render_on_world_end=False)
+    api.init()
+    api.parse_string(
+        """
+        LookAt 2.8 2.2 2.8  0 0 0  0 0 1
+        Camera "perspective" "float fov" 45
+        Sampler "halton" "integer pixelsamples" 2
+        Integrator "path" "integer maxdepth" 2
+        Film "image" "integer xresolution" [24] "integer yresolution" [24]
+        Accelerator "bvh" "integer minprims" 1
+        WorldBegin
+        LightSource "infinite" "rgb L" [1 1 1]
+        Texture "checks" "spectrum" "checkerboard"
+            "float uscale" [8] "float vscale" [4]
+            "rgb tex1" [.1 .2 .9] "rgb tex2" [.9 .8 .1]
+        Material "matte" "texture Kd" "checks"
+        """
+    )
+    ps, _ = _torus_mesh_params(48, 24)
+    api.shape("trianglemesh", ps)
+
+    def run(force_stream):
+        r = Renderer(api.scene, api.opt)
+        if force_stream:
+            tri = r.compiled.tri_data
+            r.compiled.intersector = BVHIntersector(
+                tri, r.compiled.sph_data, use_pallas=True,
+                pallas_interpret=True,
+            )
+            from pbrt_tpu.ops.stream_bvh import StreamBVH
+
+            # 48x24 torus = 2304 tris < STREAM_MIN_TRIS; force the stream
+            # kernel explicitly so the derived-bary path is what renders
+            mins, maxs, skips, firsts, counts, perm = build_bvh(
+                tri.p0, tri.p1, tri.p2, 16
+            )
+            bvh = r.compiled.intersector
+            bvh._pallas = StreamBVH(
+                mins, maxs, skips, firsts, counts,
+                tri.p0[perm], tri.p1[perm], tri.p2[perm],
+                target_tris=512, interpret=True, leaf_slots=16,
+            )
+            bvh._slot_to_dfs = jnp.asarray(
+                bvh._pallas.slot_to_prim.astype(np.int32)
+            )
+            bvh.perm = jnp.asarray(
+                perm.astype(np.int32)[bvh._pallas.slot_to_prim]
+            )
+            bvh.tri_c = tuple(
+                jnp.asarray(arr[:, c].copy())
+                for arr in (tri.p0[perm], tri.p1[perm], tri.p2[perm])
+                for c in range(3)
+            )
+            bvh.leaf_size = 16
+        state = r.render(progress=False)
+        return np.asarray(r.film.to_rgb(state))
+
+    img_brute = run(False)
+    img_stream = run(True)
+    np.testing.assert_allclose(img_stream, img_brute, atol=2e-3)

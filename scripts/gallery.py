@@ -87,5 +87,99 @@ def main():
         )
 
 
+def round3_gallery():
+    """Round-3 additions: 1M-triangle torus (streaming BVH), motion blur,
+    MLT caustic.  Run on TPU: GALLERY_CPU=0 python scripts/gallery.py r3"""
+    from pbrt_tpu.core.api import PbrtAPI as API
+    from pbrt_tpu.render import Renderer
+    from pbrt_tpu.testscenes import _torus_mesh_params
+
+    # 1M-triangle displaced torus through the streaming BVH
+    api = API(Options(ray_batch=1 << 18), render_on_world_end=False)
+    api.init()
+    api.parse_string(
+        """
+        LookAt 2.8 2.2 2.8  0 0 0  0 0 1
+        Camera "perspective" "float fov" 45
+        Sampler "halton" "integer pixelsamples" 16
+        Integrator "path" "integer maxdepth" 4
+        Film "image" "integer xresolution" [512] "integer yresolution" [512]
+        Accelerator "bvh"
+        WorldBegin
+        LightSource "point" "rgb I" [30 28 25] "point from" [3 -3 4]
+        AttributeBegin
+          AreaLightSource "diffuse" "rgb L" [6 6 7]
+          Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+            "point P" [-1 -1 3.5  1 -1 3.5  1 1 3.5  -1 1 3.5]
+        AttributeEnd
+        Texture "checks" "spectrum" "checkerboard"
+            "float uscale" [16] "float vscale" [8]
+            "rgb tex1" [.2 .3 .5] "rgb tex2" [.8 .75 .6]
+        Material "matte" "texture Kd" "checks"
+        """
+    )
+    ps, n_tris = _torus_mesh_params(1000, 500)
+    api.shape("trianglemesh", ps)
+    api.parse_string(
+        """
+        Material "matte" "rgb Kd" [0.4 0.4 0.42]
+        Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+          "point P" [-8 -8 -0.7  8 -8 -0.7  8 8 -0.7  -8 8 -0.7]
+        """
+    )
+    t0 = time.time()
+    r = Renderer(api.scene, api.opt)
+    state = r.render(progress=False)
+    img = np.asarray(r.film.to_rgb(state))
+    from pbrt_tpu.core.imageio import write_image
+
+    write_image(f"{OUT}/torus1m.png", img, r.film.cropped_pixel_bounds,
+                r.film.full_resolution)
+    print(f"torus1m ({n_tris} tris): {time.time()-t0:.1f}s")
+
+    # motion blur: translating sphere
+    run("motion", scene_text="""
+        LookAt 0 0 -5  0 0 0  0 1 0
+        Camera "perspective" "float fov" 50
+        Sampler "halton" "integer pixelsamples" 128
+        Integrator "path" "integer maxdepth" 3
+        Film "image" "integer xresolution" [256] "integer yresolution" [256]
+        WorldBegin
+        LightSource "infinite" "rgb L" [0.9 0.95 1.0]
+        Material "matte" "rgb Kd" [0.4 0.4 0.45]
+        Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+          "point P" [-6 -1.2 -6  6 -1.2 -6  6 -1.2 6  -6 -1.2 6]
+        Material "plastic" "rgb Kd" [0.8 0.15 0.1] "rgb Ks" [0.3 0.3 0.3]
+        ActiveTransform EndTime
+        Translate 1.6 0.5 0
+        ActiveTransform All
+        Shape "sphere" "float radius" 0.6
+        WorldEnd
+        """, ray_batch=1 << 17)
+
+    # MLT caustic: glass sphere over a floor, point light
+    run("caustic-mlt", scene_text="""
+        LookAt 0 2.2 3.2  0 0.4 0  0 1 0
+        Camera "perspective" "float fov" 45
+        Sampler "halton" "integer pixelsamples" 64
+        Integrator "mlt" "integer maxdepth" 5
+        Film "image" "integer xresolution" [256] "integer yresolution" [256]
+        WorldBegin
+        LightSource "point" "rgb I" [40 40 40] "point from" [0 3.0 0]
+        Material "matte" "rgb Kd" [0.7 0.7 0.7]
+        Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+          "point P" [ -3 0 -3   3 0 -3   3 0 3   -3 0 3 ]
+        AttributeBegin
+          Material "glass"
+          Translate 0 1.0 0
+          Shape "sphere" "float radius" 0.45
+        AttributeEnd
+        WorldEnd
+        """, ray_batch=1 << 17)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "r3":
+        round3_gallery()
+    else:
+        main()

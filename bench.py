@@ -124,6 +124,10 @@ def main():
         "image_ok": ok,
         "device": str(jax.devices()[0]),
     }
+    # failsafe: emit the primary metric NOW so a driver timeout during the
+    # (compile-heavy) hard-path configs still leaves a parseable tail line;
+    # the enriched line printed at the end supersedes it when we get there
+    print(json.dumps(result), flush=True)
     try:
         c3, n_tris3, ok3 = bench_config3()
         result["config3_mray_s"] = round(c3 / 1e6, 2)

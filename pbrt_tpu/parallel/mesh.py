@@ -117,14 +117,52 @@ class ShardedRenderer:
         mask = np.arange(n_chunks * batch) < n_pix
         chunks = pixels.reshape(n_chunks, batch, 2)
         masks = mask.reshape(n_chunks, batch)
+        # --- preemption recovery (SURVEY §5): resume the (round, chunk)
+        # sweep from a film checkpoint; the film state is replicated so a
+        # restarted pod resumes bit-identically regardless of mesh shape
+        ckpt_path = None
+        resume_at = 0
+        total_steps = rounds * n_chunks
+        if self.r.options.checkpoint_dir:
+            from pathlib import Path
+
+            from pbrt_tpu.utils.checkpoint import load_checkpoint
+
+            ckpt_path = Path(self.r.options.checkpoint_dir) / "film-mesh.ckpt.npz"
+            meta_want = {
+                "res": list(film.full_resolution),
+                "spp": int(spp),
+                "steps": int(total_steps),
+                "mesh": sorted(self.mesh.shape.items()),
+            }
+            loaded = load_checkpoint(ckpt_path)
+            if loaded is not None and state is None:
+                ck_state, cursor, meta = loaded
+                meta["mesh"] = [tuple(x) for x in meta.get("mesh", [])]
+                if meta == meta_want and 0 < cursor <= total_steps:
+                    state = ck_state
+                    resume_at = cursor
         if state is None:
             state = film.initial_state()
+        step_i = 0
         for rd in range(rounds):
             s0 = jnp.uint32(rd * self.sp)
             for ci in range(n_chunks):
+                if step_i < resume_at:
+                    step_i += 1
+                    continue
                 state = self._sharded_step(
                     state, jnp.asarray(chunks[ci]), s0, jnp.asarray(masks[ci])
                 )
+                step_i += 1
+                if ckpt_path is not None and (
+                    step_i % max(1, self.r.options.checkpoint_every) == 0
+                    or step_i == total_steps
+                ):
+                    from pbrt_tpu.utils.checkpoint import save_checkpoint
+
+                    jax.block_until_ready(state["weight"])
+                    save_checkpoint(ckpt_path, state, step_i, meta_want)
         jax.block_until_ready(state["weight"])
         return state
 

@@ -494,11 +494,13 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
             for f in ("n0", "n1", "n2")
         )
     # ray differentials are generated (and footprints computed) only when
-    # an image texture can consume them — everything else point-samples
+    # a texture can consume them (imagemap MIP/EWA levels, closed-form
+    # box-filtered checkerboard) — everything else point-samples
+    from pbrt_tpu.textures.checkerboard import CheckerboardTexture
     from pbrt_tpu.textures.imagemap import ImageTexture
 
     tex_width_needed = any(
-        isinstance(tex, ImageTexture)
+        isinstance(tex, (ImageTexture, CheckerboardTexture))
         for e in iter_entries_deep(materials)
         for tex in e.textures.values()
     )

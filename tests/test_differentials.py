@@ -156,3 +156,45 @@ def test_grazing_imagemap_aliasing_reduced(stripes_png):
     assert var_mip < 0.3 * var_point, (var_mip, var_point)
     # and the filtered image sits near the stripe mean there
     assert abs(float(img_mip[far, :, 0].mean()) - float(img_point[far, :, 0].mean())) < 0.2
+
+
+def test_checkerboard_closed_form_filtering():
+    """Grazing checkered floor: the closed-form box filter must collapse
+    far-region aliasing to the check mean, like the imagemap MIP path."""
+    scene = """
+    LookAt 0 1.0 -6  0 0 4  0 1 0
+    Camera "perspective" "float fov" 50
+    Sampler "halton" "integer pixelsamples" 4
+    Integrator "path" "integer maxdepth" 2
+    Film "image" "integer xresolution" [48] "integer yresolution" [48]
+    WorldBegin
+    LightSource "distant" "rgb L" [3 3 3] "point from" [0 1 0] "point to" [0 0 0]
+    Texture "checks" "spectrum" "checkerboard"
+        "float uscale" [600] "float vscale" [600]
+        "rgb tex1" [1 1 1] "rgb tex2" [0 0 0]
+    Material "matte" "texture Kd" "checks"
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-40 0 -40  40 0 -40  40 0 40  -40 0 40]
+      "float uv" [0 0  1 0  1 1  0 1]
+    WorldEnd
+    """
+
+    def run(disable):
+        from pbrt_tpu.render import Renderer
+
+        api = PbrtAPI(Options(ray_batch=4096), render_on_world_end=False)
+        api.init()
+        api.parse_string(scene)
+        r = Renderer(api.scene, api.opt)
+        assert r.compiled.tables["_flags"]["tex_width"]
+        if disable:
+            r.compiled.tables["_flags"]["tex_width"] = False
+        state = r.render(progress=False)
+        return np.asarray(r.film.to_rgb(state))
+
+    img_f = run(False)
+    img_p = run(True)
+    far = slice(20, 33)
+    assert float(img_f[far, :, 0].std()) < 0.3 * float(img_p[far, :, 0].std())
+    assert abs(float(img_f[far, :, 0].mean())
+               - float(img_p[far, :, 0].mean())) < 0.15

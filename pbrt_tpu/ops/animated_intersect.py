@@ -43,6 +43,9 @@ class AnimatedTriIntersector:
     ([N] in [0,1]; None = shutter open).
     """
 
+    # past this count the sweep culls through a shutter-union BVH
+    BVH_MIN_TRIS = 64
+
     def __init__(self, key_tris):
         self.n_keys = len(key_tris)
         self.n_tri = key_tris[0].count
@@ -58,6 +61,30 @@ class AnimatedTriIntersector:
             ],
             axis=1,
         )
+        self._bvh = None
+        if self.n_tri >= self.BVH_MIN_TRIS:
+            # BVH over SHUTTER-EXPANDED bounds: each prim's box is the
+            # union of its box at every keyframe (pbrt AnimatedTransform
+            # MotionBounds), so any time-t position stays inside; the
+            # leaf test blends vertices at the lane's time as usual
+            from pbrt_tpu.accel.bvh import build_bvh
+
+            v = cols.reshape(self.n_tri, self.n_keys, 3, 3)
+            bb_min = v.min(axis=(1, 2))
+            bb_max = v.max(axis=(1, 2))
+            mins, maxs, skips, firsts, counts, perm = build_bvh(
+                bb_min, bb_max, bb_max, leaf_size=4
+            )
+            cols = cols[perm]
+            self._bvh = {
+                "min": jnp.asarray(mins),
+                "max": jnp.asarray(maxs),
+                "skip": jnp.asarray(skips),
+                "first": jnp.asarray(firsts),
+                "count": jnp.asarray(counts),
+                "perm": jnp.asarray(perm.astype(np.int32)),
+                "m": len(mins),
+            }
         self.cols = jnp.asarray(cols)
 
     def _weights(self, time, n, dt):
@@ -114,6 +141,20 @@ class AnimatedTriIntersector:
             b1a = jnp.where(ok, b1, b1a)
             return (bt, bp, b0a, b1a, k + 1), None
 
+        if self._bvh is not None:
+            bt, bp, b0a, b1a = self._bvh_walk(
+                o, d, jnp.broadcast_to(t_max, (n,)).astype(dt), w
+            )
+            got = bp >= 0
+            prim = jnp.where(got, self._bvh["perm"][jnp.maximum(bp, 0)], 0)
+            return {
+                "t": bt,
+                "hit": got,
+                "kind": jnp.where(got, KIND_TRI, KIND_NONE),
+                "prim": prim,
+                "b0": b0a,
+                "b1": b1a,
+            }
         init = (
             jnp.broadcast_to(t_max, (n,)).astype(dt),
             jnp.full((n,), -1, jnp.int32),
@@ -131,6 +172,91 @@ class AnimatedTriIntersector:
             "b0": b0a,
             "b1": b1a,
         }
+
+    def _bvh_walk(self, o, d, t_max, w, leaf_size=4):
+        """Skip-link walk over shutter-union bounds; leaf tests blend the
+        triangle's keyframed vertices with the lane's hat weights."""
+        bvh = self._bvh
+        m = bvh["m"]
+        n = o.shape[0]
+        ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+
+        def safe_inv(v):
+            sign = jnp.where(v < 0.0, -1.0, 1.0)
+            return jnp.clip(sign / jnp.maximum(jnp.abs(v), 1e-20), -1e30, 1e30)
+
+        inv = safe_inv(d)
+
+        def blend_prim(pid):
+            """One gather of the prim's [K, 9] keys, blended -> [N, 9]."""
+            ck = self.cols[pid]  # [N, K, 9]
+            return jnp.einsum("nk,nkj->nj", w, ck)
+
+        def cond(st):
+            return jnp.any(st[0] < m)
+
+        def body(st):
+            node, bt, bp, b0c, b1c = st
+            active = node < m
+            ni = jnp.minimum(node, m - 1)
+            t0 = (bvh["min"][ni] - o) * inv
+            t1 = (bvh["max"][ni] - o) * inv
+            tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+            tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            box_hit = active & (tn <= tf) & (tf > RAY_EPS) & (tn < bt)
+            cnt = bvh["count"][ni]
+            is_leaf = cnt > 0
+            fst = bvh["first"][ni]
+            for k in range(leaf_size):
+                pid = jnp.minimum(fst + k, self.n_tri - 1)
+                ok0 = box_hit & is_leaf & (k < cnt)
+                v = blend_prim(pid)
+                p0x, p0y, p0z = v[:, 0], v[:, 1], v[:, 2]
+                e1x, e1y, e1z = v[:, 3] - p0x, v[:, 4] - p0y, v[:, 5] - p0z
+                e2x, e2y, e2z = v[:, 6] - p0x, v[:, 7] - p0y, v[:, 8] - p0z
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(
+                    jnp.abs(det) > 1e-12,
+                    1.0 / jnp.where(det == 0.0, 1.0, det), 0.0,
+                )
+                tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+                b0 = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                b1 = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    ok0
+                    & (jnp.abs(det) > 1e-12)
+                    & (b0 >= 0.0)
+                    & (b1 >= 0.0)
+                    & (b0 + b1 <= 1.0)
+                    & (tt > RAY_EPS)
+                    & (tt < bt)
+                )
+                bp = jnp.where(ok, pid, bp)
+                b0c = jnp.where(ok, b0, b0c)
+                b1c = jnp.where(ok, b1, b1c)
+                bt = jnp.where(ok, tt, bt)
+            descend = box_hit & ~is_leaf
+            nxt = jnp.where(descend, ni + 1, bvh["skip"][ni])
+            nxt = jnp.where(active, nxt, m)
+            return nxt, bt, bp, b0c, b1c
+
+        init = (
+            jnp.zeros((n,), jnp.int32),
+            t_max,
+            jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), o.dtype),
+            jnp.zeros((n,), o.dtype),
+        )
+        _, bt, bp, b0c, b1c = jax.lax.while_loop(cond, body, init)
+        return bt, bp, b0c, b1c
 
     def occluded(self, o, d, t_max, time=None):
         return self.intersect(o, d, t_max, time)["hit"]

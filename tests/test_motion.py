@@ -155,3 +155,55 @@ def test_camera_motion_blur():
     assert (blurred[row, :, 1] < 0.8).sum() > (static[row, :, 1] < 0.8).sum()
     # energy conserved: equal mean brightness within noise
     np.testing.assert_allclose(blurred.mean(), static.mean(), atol=0.05)
+
+
+def test_animated_bvh_matches_brute_sweep():
+    """Shutter-union BVH culling must produce exactly the same hits as
+    the full keyframed sweep at arbitrary lane times."""
+    import jax.numpy as jnp
+
+    from pbrt_tpu.ops.animated_intersect import AnimatedTriIntersector
+    from pbrt_tpu.shapes import TriangleData, concat_triangle_data
+
+    rng = np.random.default_rng(3)
+    n_tri = 300
+    base = rng.uniform(-5, 5, (n_tri, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.7, (n_tri, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.7, (n_tri, 3)).astype(np.float32)
+    vel = rng.normal(0, 1.5, (n_tri, 3)).astype(np.float32)
+    uv = np.zeros((n_tri, 2), np.float32)
+
+    def key(t):
+        off = vel * t
+        return concat_triangle_data([TriangleData(
+            p0=base + off, p1=base + e1 + off, p2=base + e2 + off,
+            uv0=uv, uv1=uv, uv2=uv,
+        )])
+
+    keys = [key(0.0), key(0.5), key(1.0)]
+    fast = AnimatedTriIntersector(keys)
+    assert fast._bvh is not None
+    try:
+        AnimatedTriIntersector.BVH_MIN_TRIS = 10**9  # force the scan sweep
+        slow = AnimatedTriIntersector(keys)
+    finally:
+        AnimatedTriIntersector.BVH_MIN_TRIS = 64
+    assert slow._bvh is None
+
+    n = 1024
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tm = jnp.full((n,), 1e8, jnp.float32)
+    time = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    hf = fast.intersect(o, d, tm, time)
+    hs = slow.intersect(o, d, tm, time)
+    np.testing.assert_array_equal(np.asarray(hf["hit"]), np.asarray(hs["hit"]))
+    m = np.asarray(hs["hit"])
+    # einsum vs scalar-sum blend reassociate the fma chain: ~1 ulp drift
+    np.testing.assert_allclose(
+        np.asarray(hf["t"])[m], np.asarray(hs["t"])[m], rtol=2e-4, atol=1e-6
+    )
+    assert (np.asarray(hf["prim"])[m] == np.asarray(hs["prim"])[m]).mean() > 0.99, (
+        np.asarray(hf["prim"])[m][:8], np.asarray(hs["prim"])[m][:8])

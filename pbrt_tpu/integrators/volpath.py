@@ -180,9 +180,20 @@ class VolPathIntegrator(PathIntegrator):
             med_fin = med
             o_fin = o
             for step in range(self.passthrough_steps):
-                h = c.intersector.intersect(
-                    o_seg, d, jnp.full((n,), INF_T, dtype=dt)
-                )
+                # camera wavefront (bounce 0, first segment) is pixel-major
+                # coherent: skip the Morton sort like the surface path does
+                if (
+                    bounce == 0
+                    and step == 0
+                    and getattr(c.intersector, "supports_sort_hint", False)
+                ):
+                    h = c.intersector.intersect(
+                        o_seg, d, jnp.full((n,), INF_T, dtype=dt), sort=False
+                    )
+                else:
+                    h = c.intersector.intersect(
+                        o_seg, d, jnp.full((n,), INF_T, dtype=dt)
+                    )
                 t_hit = jnp.where(h["hit"], h["t"], INF_T)
                 if self.media:
                     rng_track = make_track_rng(

@@ -217,6 +217,10 @@ def build_scene(desc, options=None, seed: int = 0) -> CompiledScene:
                 object_to_world=xform * rec.object_to_world,
                 world_to_object=(xform * rec.object_to_world).inverse(),
                 object_instance=None,
+                # instance expansion composes only the start slot; a stale
+                # end slot would animate with the wrong composition
+                # (object_instance already warns on animated instancing)
+                object_to_world_end=None,
             )
             shape_records.append(new)
 

@@ -237,3 +237,40 @@ def test_unmatched_attribute_end_ignored():
     pbrt.world_begin()
     pbrt.attribute_end()  # should log + ignore, not raise
     pbrt.world_end()
+
+
+def test_unused_params_reported_per_factory(caplog):
+    """Config hygiene (reference api.rs:347,962 pattern): a bogus
+    parameter on any factory's ParamSet is warned about at build time,
+    while every consumed parameter stays quiet."""
+    import logging
+
+    from pbrt_tpu import Options
+    from pbrt_tpu.scene.builder import build_scene
+
+    api = PbrtAPI(Options(ray_batch=256), render_on_world_end=False)
+    api.init()
+    api.parse_string(
+        """
+        LookAt 0 0 -3  0 0 0  0 1 0
+        Camera "perspective" "float fov" 40 "float bogus_cam_knob" [1]
+        Sampler "halton" "integer pixelsamples" 2
+        Integrator "path" "integer maxdepth" 2
+        Film "image" "integer xresolution" [8] "integer yresolution" [8]
+        WorldBegin
+        LightSource "infinite" "rgb L" [1 1 1]
+        Material "matte" "rgb Kd" [0.5 0.5 0.5] "float bogus_mat_knob" [2]
+        Shape "sphere" "float radius" 1 "float bogus_shape_knob" [3]
+        WorldEnd
+        """
+    )
+    with caplog.at_level(logging.WARNING, logger="pbrt_tpu"):
+        build_scene(api.scene, api.opt)
+    text = caplog.text
+    assert "bogus_cam_knob" in text
+    assert "bogus_mat_knob" in text
+    assert "bogus_shape_knob" in text
+    # consumed parameters must not be flagged
+    assert "'fov' not used" not in text
+    assert "'Kd' not used" not in text
+    assert "'radius' not used" not in text

@@ -32,6 +32,15 @@ import numpy as np
 TARGET_RAYS_PER_S = 1.0e8
 
 
+def _spread(dts):
+    """min/median/max seconds over individually timed reps (VERDICT r3
+    item 9: the accelerator tunnel shows ~10% run-to-run variance; a
+    single-number bench makes small regressions invisible)."""
+    s = sorted(dts)
+    return {"min": round(s[0], 4), "median": round(s[len(s) // 2], 4),
+            "max": round(s[-1], 4)}
+
+
 def bench_cornell():
     import jax
 
@@ -40,24 +49,26 @@ def bench_cornell():
     xres = yres = 256
     spp = 32
     maxdepth = 5
-    reps = 3
+    reps = 5
     # one dispatch per 256k lanes: dispatch latency through the accelerator
     # tunnel dominates small launches, so measure sustained (production)
-    # throughput: a real spp count and several frames per timing block
+    # throughput: a real spp count and a full frame per timed rep
     r = cornell_renderer(
         xres=xres, yres=yres, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
     )
     state = r.render(spp=spp, progress=False)  # warmup/compile
-    t0 = time.time()
+    dts = []
     for _ in range(reps):
+        t0 = time.time()
         state = r.render(spp=spp, state=r.film.initial_state(), progress=False)
-    jax.block_until_ready(state["weight"])
-    dt = (time.time() - t0) / reps
+        jax.block_until_ready(state["weight"])
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[len(dts) // 2]
     n_pix = r.film.get_sample_bounds().area()
     rays = n_pix * spp * (2 * maxdepth - 1)
     img = np.asarray(r.film.to_rgb(state))
     ok = bool(np.isfinite(img).all() and img.max() > 0)
-    return rays / dt, dt, ok
+    return rays / dt, dt, ok, _spread(dts)
 
 
 def bench_config3():
@@ -65,21 +76,23 @@ def bench_config3():
 
     from pbrt_tpu.testscenes import mesh_scene_renderer
 
-    spp, maxdepth, reps = 8, 4, 3
+    spp, maxdepth, reps = 8, 4, 5
     r, n_tris = mesh_scene_renderer(
         xres=256, yres=256, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
     )
     state = r.render(progress=False)
-    t0 = time.time()
+    dts = []
     for _ in range(reps):
+        t0 = time.time()
         state = r.render(state=r.film.initial_state(), progress=False)
-    jax.block_until_ready(state["weight"])
-    dt = (time.time() - t0) / reps
+        jax.block_until_ready(state["weight"])
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[len(dts) // 2]
     n_pix = r.film.get_sample_bounds().area()
     rays = n_pix * spp * (2 * maxdepth - 1)
     img = np.asarray(r.film.to_rgb(state))
     ok = bool(np.isfinite(img).all() and img.max() > 0)
-    return rays / dt, n_tris, ok
+    return rays / dt, n_tris, ok, _spread(dts)
 
 
 def bench_config5():
@@ -103,24 +116,109 @@ def bench_config5():
     out = fn(o, d, tm)
     jax.block_until_ready(out["t"])
     reps = 5
-    t0 = time.time()
+    dts = []
     for _ in range(reps):
+        t0 = time.time()
         out = fn(o, d, tm)
-    jax.block_until_ready(out["t"])
-    dt = (time.time() - t0) / reps
-    return n / dt, td.count
+        jax.block_until_ready(out["t"])
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[len(dts) // 2]
+    return n / dt, td.count, _spread(dts)
+
+
+def bench_config5_sharded():
+    """BASELINE config 5 through the tp-SHARDED path (VERDICT r3 item 2):
+    a degenerate (dp=1, tp=1) shard_map on the one real chip, so
+    BENCH_r*.json tracks the per-shard streaming-kernel path that the
+    multi-chip mesh runs — not just the single-chip intersector."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from pbrt_tpu.parallel.geomshard import (
+        _shard_specs,
+        local_closest_hit,
+        shard_triangle_arrays,
+    )
+    from pbrt_tpu.testscenes import torus_triangle_data
+
+    td = torus_triangle_data(1000, 500)
+    shards = shard_triangle_arrays(
+        td, np.zeros(td.count, np.int32), np.full(td.count, -1, np.int32),
+        1, pallas=True,
+    )
+    flat = {k: jnp.asarray(np.reshape(v, (-1,) + v.shape[2:]))
+            for k, v in shards.items()}
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+
+    n = 1 << 18
+    rng = np.random.default_rng(0)
+    o = np.tile(np.asarray([3.0, 2.4, 2.2], np.float32), (n, 1))
+    tgt = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # production wavefronts arrive pre-sorted (sorted-carry integrator);
+    # order the bench rays the same way, once, outside the timing loop —
+    # octant + direction-Morton (origin is coincident, so direction bits
+    # are the ones that matter; accel/bvh.py _sort_keys)
+    def part1by2(v):
+        v = v.astype(np.uint32) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    octant = (d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)
+    ad = np.abs(d)
+    qd = np.clip(ad / np.maximum(ad.max(axis=1, keepdims=True), 1e-12),
+                 0, 0.999999)
+    qdi = (qd * 16).astype(np.uint32)
+    dir_m = (part1by2(qdi[:, 0]) | (part1by2(qdi[:, 1]) << 1)
+             | (part1by2(qdi[:, 2]) << 2)) & 0xFFF
+    order = np.argsort(octant.astype(np.uint32) * 4096 + dir_m)
+    o, d = jnp.asarray(o[order]), jnp.asarray(d[order])
+    tm = jnp.full((n,), 1e8, jnp.float32)
+
+    spec = _shard_specs("tp", True, P, pallas=True)
+    fn = jax.jit(shard_map(
+        lambda sh, o, d, tm: local_closest_hit(sh, o, d, tm),
+        mesh=mesh,
+        in_specs=(spec, P("dp", None), P("dp", None), P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    ))
+    out = fn(flat, o, d, tm)
+    jax.block_until_ready(out)
+    reps = 5
+    dts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(flat, o, d, tm)
+        jax.block_until_ready(out)
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[len(dts) // 2]
+    return n / dt, td.count, _spread(dts)
 
 
 def main():
     import jax
 
-    value, dt, ok = bench_cornell()
+    value, dt, ok, spread = bench_cornell()
     result = {
         "metric": "rays/s/chip (cornell 256x256, 32spp, path maxdepth=5)",
         "value": round(value, 1),
         "unit": "rays/s",
         "vs_baseline": round(value / TARGET_RAYS_PER_S, 4),
         "seconds": round(dt, 3),
+        "seconds_spread": spread,
         "image_ok": ok,
         "device": str(jax.devices()[0]),
     }
@@ -129,18 +227,28 @@ def main():
     # the enriched line printed at the end supersedes it when we get there
     print(json.dumps(result), flush=True)
     try:
-        c3, n_tris3, ok3 = bench_config3()
+        c3, n_tris3, ok3, spread3 = bench_config3()
         result["config3_mray_s"] = round(c3 / 1e6, 2)
         result["config3_tris"] = int(n_tris3)
+        result["config3_seconds_spread"] = spread3
         result["image_ok"] = bool(result["image_ok"] and ok3)
     except Exception as e:  # noqa: BLE001 - report, keep primary metric
         result["config3_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result), flush=True)
     try:
-        c5, n_tris5 = bench_config5()
+        c5, n_tris5, spread5 = bench_config5()
         result["config5_mray_s"] = round(c5 / 1e6, 2)
         result["config5_tris"] = int(n_tris5)
+        result["config5_seconds_spread"] = spread5
     except Exception as e:  # noqa: BLE001
         result["config5_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result), flush=True)
+    try:
+        c5s, _, spread5s = bench_config5_sharded()
+        result["config5_sharded_mray_s"] = round(c5s / 1e6, 2)
+        result["config5_sharded_seconds_spread"] = spread5s
+    except Exception as e:  # noqa: BLE001
+        result["config5_sharded_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return 0 if result["image_ok"] else 1
 

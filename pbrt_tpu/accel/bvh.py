@@ -264,22 +264,54 @@ class BVHIntersector:
     def _traverse_pallas_sorted(self, o, d, t_max, any_hit):
         """Sort rays for packet coherence, run the Pallas kernel, unsort.
 
+        Permutation machinery is a single ``lax.sort`` CO-SORT: the ray
+        columns ride the sort network with the keys (measured r4: +~3 ms
+        for 21 payload operands over a bare argsort at 262k lanes, vs
+        ~8 ms per row-gather), and results return to lane order with ONE
+        packed row-scatter via the co-sorted lane ids — replacing the r3
+        argsort + scatter-inverse + ray gathers + output unsort chain.
+
         Returns (t, slot): the kernel carries only (t, prim) — every extra
         vector register in its loop state measured ~150x slower — so
-        barycentrics are derived afterwards (:meth:`_bary_from_hit`).
+        barycentrics are derived afterwards (compute_interaction).
         """
         keys = self._sort_keys(o, d, t_max)
-        order = jnp.argsort(keys)
-        # inverse permutation by scatter — measurably cheaper than a
-        # second 262k-key argsort (the sort pass was ~25% of traversal)
-        n = order.shape[0]
-        inv = jnp.zeros((n,), order.dtype).at[order].set(
-            jnp.arange(n, dtype=order.dtype), unique_indices=True
+        n = keys.shape[0]
+        lane = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort(
+            (keys, lane,
+             o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2],
+             jnp.broadcast_to(t_max, (n,))),
+            num_keys=1,
         )
+        lane_s = srt[1]
         t, prim = self._pallas.traverse(
-            o[order], d[order], t_max[order], any_hit=any_hit, remap=False
+            srt[2:5], srt[5:8], srt[8], any_hit=any_hit, remap=False
         )
-        return t[inv], prim[inv]
+        if any_hit:
+            # occlusion consumes only the hit bit: one 1-column scatter
+            prim_out = jnp.full((n,), -1, jnp.int32).at[lane_s].set(
+                prim, unique_indices=True
+            )
+            return jnp.zeros((n,), o.dtype), prim_out
+        if t.dtype == jnp.float32:
+            packed = jnp.stack(
+                [t, jax.lax.bitcast_convert_type(prim, jnp.float32)], axis=-1
+            )
+            out = jnp.zeros((n, 2), jnp.float32).at[lane_s].set(
+                packed, unique_indices=True
+            )
+            return out[:, 0], jax.lax.bitcast_convert_type(
+                out[:, 1], jnp.int32
+            )
+        t_out = jnp.zeros((n,), t.dtype).at[lane_s].set(
+            t, unique_indices=True
+        )
+        prim_out = jnp.full((n,), -1, jnp.int32).at[lane_s].set(
+            prim, unique_indices=True
+        )
+        return t_out, prim_out
 
     def _traverse_xla(self, o, d, t_max, any_hit: bool):
         n = o.shape[0]
@@ -377,6 +409,12 @@ class BVHIntersector:
     # integrators may pass sort=False for wavefronts that are already
     # coherent in lane order (camera bounces: lanes are pixel-major)
     supports_sort_hint = True
+
+    def sort_keys(self, o, d, t_max=None):
+        """Public traversal-order keys (dead bit | origin Morton | octant |
+        direction Morton) for integrators that keep their wavefront carry
+        permanently sorted (PathIntegrator sorted-carry mode)."""
+        return self._sort_keys(o, d, t_max)
 
     def intersect(self, o, d, t_max, sort=True):
         n = o.shape[0]

@@ -121,7 +121,7 @@ class BDPTIntegrator(PathIntegrator):
     # -- subpath tracing ----------------------------------------------------
 
     def _walk(self, sampler, key_xy, sidx, o, d, beta0, pdf_dir0, n_verts,
-              dim_base, theta, origin_p=None, origin_ns=None):
+              dim_base, theta, origin_p=None, origin_ns=None, time=None):
         """Trace a subpath; returns (list[_Vertex], escape info, origin_rev).
 
         origin_rev (when origin_p given) = area density of re-reaching the
@@ -145,7 +145,7 @@ class BDPTIntegrator(PathIntegrator):
 
         for k in range(n_verts):
             base = dim_base + 7 * k
-            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
+            hit = self._intersect(o, d, jnp.full((n,), INF_T, dtype=dt), time)
             esc_new = alive & ~hit["hit"]
             esc_beta = jnp.where(esc_new[..., None], beta, esc_beta)
             esc_d = jnp.where(esc_new[..., None], d, esc_d)
@@ -154,7 +154,7 @@ class BDPTIntegrator(PathIntegrator):
                 esc_first = esc_new
             esc_mask = esc_mask | esc_new
             alive = alive & hit["hit"]
-            si = compute_interaction(c.tables, hit, o, d)
+            si = compute_interaction(c.tables, hit, o, d, None, time)
             wo = si["wo"]
             ns, ss, ts = shading_frame(si, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)
@@ -312,6 +312,12 @@ class BDPTIntegrator(PathIntegrator):
             enable_t0 and self.enable_t0
         )
 
+        # one shutter time per path (pbrt-v3: the camera ray's time applies
+        # to every vertex and connection of the BDPT path)
+        time = (
+            sampler.get(pixel_xy, sample_index, 4) if self._animated else None
+        )
+
         cam = c.camera
         if enable_t0:
             cam_pdf_dir0 = cam.pdf_we_dir(d)
@@ -322,7 +328,7 @@ class BDPTIntegrator(PathIntegrator):
         cam_verts, (esc, esc_beta, esc_d, esc_pdf, esc_first), _ = self._walk(
             sampler, pixel_xy, sample_index, o, d,
             jnp.ones((n, 3), dtype=dt), cam_pdf_dir0,
-            self.t_max, 5, theta,
+            self.t_max, 5, theta, time=time,
         )
 
         # ---- s=0: escaped rays see infinite lights ----------------------
@@ -384,7 +390,7 @@ class BDPTIntegrator(PathIntegrator):
                 shadow_o = v.p + v.ns * SHADOW_EPS * jnp.sign(
                     jnp.sum(wi_w * v.ns, axis=-1, keepdims=True)
                 )
-                occ = c.intersector.occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS)
+                occ = self._occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS, time)
                 # light-side term (s'=0): camera continues and hits the light
                 j0 = jnp.where(
                     l_info["hittable"] & (t + 1 <= self.t_max),
@@ -423,7 +429,7 @@ class BDPTIntegrator(PathIntegrator):
                 pixel_xy + jnp.asarray([7919, 104729], jnp.int32),
                 sample_index, lo, ld, lbeta, lpdf_dir,
                 self.s_max, 5 + 7 * self.t_max, theta,
-                origin_p=lo, origin_ns=l_ns,
+                origin_p=lo, origin_ns=l_ns, time=time,
             )
             light = {
                 "verts": light_verts,
@@ -459,7 +465,7 @@ class BDPTIntegrator(PathIntegrator):
                     shadow_o = lv.p + lv.ns * SHADOW_EPS * jnp.sign(
                         jnp.sum(wi_cam_w * lv.ns, axis=-1, keepdims=True)
                     )
-                    occ = c.intersector.occluded(shadow_o, wi_cam_w, dc - 2 * SHADOW_EPS)
+                    occ = self._occluded(shadow_o, wi_cam_w, dc - 2 * SHADOW_EPS, time)
                     # MIS: light-side walk with the camera densities
                     rl1 = _dir_pdf_to_area(cam.pdf_we_dir(-wi_cam_w), cam_pos[None, :], lv.p, lv.ns)
                     b_rev = B.bsdf_pdf(lv.params, wi_cam, wo_lv)
@@ -497,7 +503,7 @@ class BDPTIntegrator(PathIntegrator):
                         jnp.sum(w_dir * cv.ns, axis=-1, keepdims=True)
                     )
                     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
-                    occ = c.intersector.occluded(shadow_o, w_dir, dist - 2 * SHADOW_EPS)
+                    occ = self._occluded(shadow_o, w_dir, dist - 2 * SHADOW_EPS, time)
                     # MIS: connection-edge densities (remapped at the four
                     # vertices adjacent to the connection)
                     pdf_c_dir = B.bsdf_pdf(cv.params, wo_c, wi_c)

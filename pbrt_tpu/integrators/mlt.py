@@ -88,8 +88,24 @@ class MLTIntegrator(PathIntegrator):
             base = 5 + 7 * (self._bdpt.t_max + self._bdpt.s_max)
             self._bdpt.light_origin_dim_base = base
             self.n_dims = base + 5
+        elif getattr(compiled, "media", None):
+            # media scenes: the unidirectional target must be the FULL
+            # volumetric estimator (volpath), not the surface path loop —
+            # medium attenuation/scattering is part of f(u).  Tracking
+            # uniforms hash (pixel, sample, slot), and pixel = floor of the
+            # film position u drives, so f stays a fixed function of the
+            # primary sample vector as Metropolis requires.
+            from pbrt_tpu.integrators.volpath import (
+                N_DIMS_PER_BOUNCE,
+                VolPathIntegrator,
+            )
+
+            self._bdpt = None
+            self._uni = VolPathIntegrator(compiled, max_depth)
+            self.n_dims = 5 + N_DIMS_PER_BOUNCE * self.max_depth
         else:
             self._bdpt = None
+            self._uni = None  # use own (PathIntegrator) li
             self.n_dims = 5 + 7 * self.max_depth
 
     # -- sample-vector -> radiance ------------------------------------------
@@ -121,6 +137,8 @@ class MLTIntegrator(PathIntegrator):
         )
         if self._bdpt is not None:
             L, raw_splats = self._bdpt.li_splat(sampler, pixel_xy, sidx, o, d)
+        elif self._uni is not None:  # volumetric unidirectional target
+            L, raw_splats = self._uni.li(sampler, pixel_xy, sidx, o, d), []
         else:
             L, raw_splats = self.li(sampler, pixel_xy, sidx, o, d), []
         L = jnp.where(jnp.isfinite(L), L, 0.0) * w[..., None]

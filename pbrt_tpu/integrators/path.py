@@ -55,6 +55,15 @@ class PathIntegrator:
     the autodiff formulation of the BASELINE "path-replay" requirement.
     Forward-only rendering is unaffected."""
 
+    # Subclass knobs (pbrt-v3 §14.3 derived integrators):
+    #  * direct_only: non-specular BSDF samples continue for exactly ONE
+    #    more segment that may only collect emission (the BSDF-sampled half
+    #    of EstimateDirect's MIS pair), then terminate — DirectLighting.
+    #  * nee_mis: False disables the power-heuristic downweighting of NEE
+    #    (for integrators that drop the BSDF-sampled direct half, Whitted).
+    direct_only = False
+    nee_mis = True
+
     def __init__(self, compiled, max_depth=5, rr_threshold=1.0, remat=False):
         self.c = compiled
         self.max_depth = int(max_depth)
@@ -64,7 +73,58 @@ class PathIntegrator:
             compiled.tables.get("_flags", {}).get("animated_keys", 0)
         )
 
+    def _bsdf_sample(self, params, wo_l, u_lobe, u_b):
+        """Hook for derived integrators (Whitted suppresses non-specular
+        continuations here) — replaces the former module-global
+        ``bsdf_sample`` monkeypatch, which leaked across concurrently
+        traced integrators."""
+        return B.bsdf_sample(params, wo_l, u_lobe, u_b)
+
+    # -- sorted-carry wavefront --------------------------------------------
+
+    def _use_sorted_carry(self):
+        """Keep the wavefront permanently in ray-sorted order across
+        bounces instead of sort/unsort-ing around every intersect.
+
+        Measured motivation (RESULTS.md r3 forensics): EVERY
+        permutation-shaped XLA op on a 262k-lane wavefront costs ~8 ms on
+        a v5e (argsort 8.1, scatter-inverse 8.0, [N,3] row gather 8.3 —
+        TPU gathers run as a serial scalar loop, ~30 ns/row regardless of
+        row width).  The old scheme paid sort+inverse+gather+unsort around
+        BOTH the closest-hit and the shadow intersect: ~6 permutation ops
+        per bounce.  Keeping lanes sorted costs ONE argsort + ONE packed
+        row-gather per bounce (the per-row cost is ~flat in row width, so
+        all ~22 carry columns ride a single [N,22] gather) and one final
+        scatter per wavefront to restore lane order for the film.
+        """
+        if self._animated:
+            return False
+        import os
+
+        if os.environ.get("PBRT_TPU_NO_SORTED_CARRY", "0") not in ("", "0"):
+            return False
+        itx = self.c.intersector
+        return bool(getattr(itx, "supports_sort_hint", False)) and (
+            getattr(itx, "_pallas", None) is not None
+            or getattr(itx, "n_tri", 0) > 0
+        )
+
+
+    @staticmethod
+    def _detach(*xs):
+        """Intersection queries are discrete scene lookups: the hit record
+        (t, prim, barycentrics) has zero dependence on material/light
+        theta, and detaching the query inputs keeps reverse-mode from
+        trying to differentiate the traversal ``while_loop`` (detached
+        sampling — the estimator the BASELINE's path-replay scheme
+        assumes).  Ray geometry stays attached downstream via
+        ``compute_interaction(o, d, ...)``."""
+        return tuple(
+            None if x is None else jax.lax.stop_gradient(x) for x in xs
+        )
+
     def _intersect(self, o, d, t_max, time, sort=True):
+        o, d, t_max, time = self._detach(o, d, t_max, time)
         if self._animated:
             return self.c.intersector.intersect(o, d, t_max, time=time)
         if not sort and getattr(self.c.intersector, "supports_sort_hint", False):
@@ -72,6 +132,7 @@ class PathIntegrator:
         return self.c.intersector.intersect(o, d, t_max)
 
     def _occluded(self, o, d, t_max, time, sort=True):
+        o, d, t_max, time = self._detach(o, d, t_max, time)
         if self._animated:
             return self.c.intersector.occluded(o, d, t_max, time=time)
         if not sort and getattr(self.c.intersector, "supports_sort_hint", False):
@@ -177,26 +238,38 @@ class PathIntegrator:
         c = self.c
         n = o.shape[0]
         dt = o.dtype
+        self._sc = self._use_sorted_carry()
         carry = (
             jnp.zeros((n, 3), dtype=dt),  # L
             jnp.ones((n, 3), dtype=dt),  # beta
             jnp.ones((n,), dtype=bool),  # alive
             jnp.ones((n,), dtype=bool),  # specular_bounce (camera "bounce")
+            jnp.zeros((n,), dtype=bool),  # gather_only (emission-only lanes)
             jnp.ones((n,), dtype=dt),  # prev_bsdf_pdf
             o,  # prev_p
             o,
             d,
+            pixel_xy,  # rides the permutation (samplers are pure in it)
+            sample_index,
+            jnp.arange(n, dtype=jnp.int32),  # original lane id
         )
         for bounce in range(self.max_depth):
             body = functools.partial(self._bounce, bounce, sampler, theta)
             if self.remat:
                 body = jax.checkpoint(body, static_argnums=())
-            carry = body(carry, pixel_xy, sample_index)
-        return carry[0]
+            carry = body(carry)
+        L = carry[0]
+        if self._sc:
+            # one scatter per wavefront restores film lane order (vs the
+            # old sort/unsort pair around every intersect)
+            lane = carry[-1]
+            L = jnp.zeros_like(L).at[lane].set(L, unique_indices=True)
+        return L
 
-    def _bounce(self, bounce, sampler, theta, carry, pixel_xy, sample_index):
+    def _bounce(self, bounce, sampler, theta, carry):
         c = self.c
-        (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d) = carry
+        (L, beta, alive, specular_bounce, gather_only, prev_bsdf_pdf,
+         prev_p, o, d, pixel_xy, sample_index, lane) = carry
         n = o.shape[0]
         dt = o.dtype
         if True:
@@ -212,8 +285,12 @@ class PathIntegrator:
             t_far = jnp.where(alive, INF_T, 0.0).astype(dt)
             # camera rays arrive pixel-major (already a coherent sweep):
             # skip the Morton sort for bounce 0 — the argsort + gathers
-            # cost ~15 ms per 262k-lane wavefront on chip
-            hit = self._intersect(o, d, t_far, time, sort=bounce > 0)
+            # cost ~15 ms per 262k-lane wavefront on chip.  In sorted-carry
+            # mode bounce>0 lanes were permuted at the END of the previous
+            # bounce, so every intersect runs sort-free.
+            hit = self._intersect(
+                o, d, t_far, time, sort=bounce > 0 and not self._sc
+            )
 
             # --- escaped rays: environment radiance with MIS -------------
             esc = alive & ~hit["hit"]
@@ -259,7 +336,13 @@ class PathIntegrator:
                 )
 
             if bounce == self.max_depth - 1:
-                return (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d)
+                return (L, beta, alive, specular_bounce, gather_only,
+                        prev_bsdf_pdf, prev_p, o, d,
+                        pixel_xy, sample_index, lane)
+
+            # emission-only lanes (direct_only: the BSDF-sampled half of
+            # EstimateDirect's MIS pair) have now collected their Le — stop
+            alive = alive & ~gather_only
 
             # --- shading frame + material params -------------------------
             ns, ss, ts = shading_frame(si, wo)
@@ -283,13 +366,32 @@ class PathIntegrator:
                 shadow_o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
                     jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
                 )
+                # shadow wavefronts get their own sort even in sorted-carry
+                # mode: the carry order follows the BOUNCE direction, and
+                # shadow directions (toward sampled lights) diverge from it
+                # — measured r4 A/B: unsorted shadows cost MORE than the
+                # whole per-call co-sort (474 vs 508 ms/frame on config 3).
+                # PBRT_TPU_SC_NOSORT_SHADOW=1 restores the unsorted variant
+                # for A/B instrumentation.
+                import os as _os
+
+                shadow_sort = not self._sc or _os.environ.get(
+                    "PBRT_TPU_SC_NOSORT_SHADOW", "0"
+                ) in ("", "0")
                 occluded = self._occluded(
                     shadow_o, wi_w,
                     jnp.where(can, l_dist - 2 * SHADOW_EPS, 0.0),
                     time,
+                    sort=shadow_sort,
                 )
                 vis = can & ~occluded
-                w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))
+                if self.nee_mis:
+                    w_l = jnp.where(
+                        l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf)
+                    )
+                else:
+                    # Whitted: light sampling is the only direct estimator
+                    w_l = jnp.ones_like(l_pdf)
                 contrib = (
                     beta
                     * f
@@ -303,9 +405,13 @@ class PathIntegrator:
             # --- BSDF sampling -------------------------------------------
             u_lobe = sampler.get(pixel_xy, sample_index, base + 3)
             u_b = sampler.get2(pixel_xy, sample_index, base + 4)
-            wi_l, f, pdf, spec = B.bsdf_sample(params, wo_l, u_lobe, u_b)
+            wi_l, f, pdf, spec = self._bsdf_sample(params, wo_l, u_lobe, u_b)
             wi_w = _to_world(ns, ss, ts, wi_l)
             ok = alive & (pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            if self.direct_only:
+                # pbrt DirectLightingIntegrator: non-specular continuations
+                # exist only to pick up the BSDF-sampled direct-light term
+                gather_only = ok & ~spec
             beta = jnp.where(
                 ok[..., None],
                 beta * f * (jnp.abs(wi_l[..., 2]) / jnp.maximum(pdf, 1e-12))[..., None],
@@ -333,4 +439,48 @@ class PathIntegrator:
                 )
                 alive = alive & survive
 
-        return (L, beta, alive, specular_bounce, prev_bsdf_pdf, prev_p, o, d)
+            # --- sorted-carry permutation --------------------------------
+            if self._sc:
+                # ONE argsort + ONE packed row-gather moves the whole
+                # wavefront into the next bounce's traversal order; the
+                # next intersect and its shadow pass then run sort-free
+                t_next = jnp.where(alive, INF_T, 0.0).astype(dt)
+                keys = c.intersector.sort_keys(o, d, t_next)
+                flags = (
+                    alive.astype(jnp.int32)
+                    | (specular_bounce.astype(jnp.int32) << 1)
+                    | (gather_only.astype(jnp.int32) << 2)
+                )
+                # lax.sort CO-SORT: the 21 carry columns ride the sort
+                # network with the keys.  Measured (r4, 262k lanes): this
+                # costs ~3 ms over a bare argsort, where the pack +
+                # [N,21]-row-gather formulation cost ~26 ms — TPU gathers
+                # run as a serial scalar loop, the sort network is vector.
+                srt = jax.lax.sort(
+                    (keys,
+                     L[:, 0], L[:, 1], L[:, 2],
+                     beta[:, 0], beta[:, 1], beta[:, 2],
+                     prev_bsdf_pdf,
+                     prev_p[:, 0], prev_p[:, 1], prev_p[:, 2],
+                     o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2],
+                     pixel_xy[:, 0], pixel_xy[:, 1], sample_index,
+                     lane, flags),
+                    num_keys=1,
+                )
+                L = jnp.stack(srt[1:4], axis=-1)
+                beta = jnp.stack(srt[4:7], axis=-1)
+                prev_bsdf_pdf = srt[7]
+                prev_p = jnp.stack(srt[8:11], axis=-1)
+                o = jnp.stack(srt[11:14], axis=-1)
+                d = jnp.stack(srt[14:17], axis=-1)
+                pixel_xy = jnp.stack(srt[17:19], axis=-1)
+                sample_index = srt[19]
+                lane = srt[20]
+                flags = srt[21]
+                alive = (flags & 1) != 0
+                specular_bounce = (flags & 2) != 0
+                gather_only = (flags & 4) != 0
+
+        return (L, beta, alive, specular_bounce, gather_only, prev_bsdf_pdf,
+                prev_p, o, d, pixel_xy, sample_index, lane)

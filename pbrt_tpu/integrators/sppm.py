@@ -78,6 +78,8 @@ class SPPMIntegrator(PathIntegrator):
         beta = jnp.ones((n, 3), dtype=dt)
         alive = jnp.ones((n,), dtype=bool)
         found = jnp.zeros((n,), dtype=bool)
+        # per-lane shutter time (motion blur): the camera ray's dim-4 sample
+        time = sampler.get(pixel_xy, sidx, 4) if self._animated else None
         vp_p = jnp.zeros((n, 3), dtype=dt)
         vp_ns = jnp.zeros((n, 3), dtype=dt)
         vp_beta = jnp.zeros((n, 3), dtype=dt)
@@ -92,12 +94,12 @@ class SPPMIntegrator(PathIntegrator):
 
         for bounce in range(self.max_depth):
             base = 5 + 7 * bounce
-            hit = c.intersector.intersect(o, d, jnp.full((n,), INF_T, dtype=dt))
+            hit = self._intersect(o, d, jnp.full((n,), INF_T, dtype=dt), time)
             esc = alive & ~hit["hit"]
             env = self._env_radiance(d, theta)
             L = L + jnp.where(esc[..., None], beta * env, 0.0)
             alive = alive & hit["hit"]
-            si = compute_interaction(c.tables, hit, o, d)
+            si = compute_interaction(c.tables, hit, o, d, None, time)
             wo = si["wo"]
             if c.area_lights:
                 le = self._emitted(si, wo, theta)
@@ -148,7 +150,7 @@ class SPPMIntegrator(PathIntegrator):
                 shadow_o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
                     jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
                 )
-                occ = c.intersector.occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS)
+                occ = self._occluded(shadow_o, wi_w, l_dist - 2 * SHADOW_EPS, time)
                 contrib = (
                     beta
                     * f_nee
@@ -260,6 +262,7 @@ class SPPMIntegrator(PathIntegrator):
         pkey = jnp.stack([lane, jnp.full_like(lane, -9)], axis=-1)
         sidx = jnp.full((n_photons,), iteration, dtype=jnp.uint32)
         alive = jnp.ones((n_photons,), dtype=bool)
+        time = sampler.get(pkey, sidx, 4) if self._animated else None
 
         dep_p = []
         dep_w = []
@@ -267,9 +270,9 @@ class SPPMIntegrator(PathIntegrator):
         dep_ok = []
         for bounce in range(self.max_depth):
             base = 5 + 7 * bounce
-            hit = c.intersector.intersect(o, d, jnp.full((n_photons,), INF_T))
+            hit = self._intersect(o, d, jnp.full((n_photons,), INF_T), time)
             alive = alive & hit["hit"]
-            si = compute_interaction(c.tables, hit, o, d)
+            si = compute_interaction(c.tables, hit, o, d, None, time)
             wo = si["wo"]
             ns, ss, ts = shading_frame(si, wo)
             params = eval_material_params(c.materials, si["mat"], si, theta)

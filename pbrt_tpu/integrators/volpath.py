@@ -70,7 +70,7 @@ class VolPathIntegrator(PathIntegrator):
         return hit_mask & (mat_id >= 0) & (t != B.NONE)
 
     def _shadow_tr(self, med, shadow_o, wi_w, l_dist, pixel_xy, sample_index,
-                   bounce):
+                   bounce, time=None):
         """March a shadow ray through null-material boundaries: per-segment
         medium transmittance, medium switch at each interface, opaque hits
         occlude (pbrt-v3 VisibilityTester::Tr).  Returns (tr [N,3], occluded
@@ -91,7 +91,7 @@ class VolPathIntegrator(PathIntegrator):
             # occlusion + one full-length transmittance (the pre-march
             # fast path; the closest-hit march below is only needed when
             # shadow rays can legally cross shaped-volume interfaces)
-            occ = c.intersector.occluded(cur_o, wi_w, remaining)
+            occ = self._occluded(cur_o, wi_w, remaining, time)
             if self.media:
                 rng_seg = make_track_rng(pixel_xy, sample_index, 1024 + bounce)
                 tr = self._medium_transmittance(
@@ -102,7 +102,7 @@ class VolPathIntegrator(PathIntegrator):
             rng_seg = make_track_rng(
                 pixel_xy, sample_index, 1024 + bounce * segs + seg
             )
-            h = c.intersector.intersect(cur_o, wi_w, remaining)
+            h = self._intersect(cur_o, wi_w, remaining, time)
             seg_len = jnp.where(h["hit"], h["t"], remaining)
             if self.media:
                 tr = tr * self._medium_transmittance(
@@ -111,7 +111,7 @@ class VolPathIntegrator(PathIntegrator):
             if seg == segs - 1:
                 occ = occ | h["hit"]
                 break
-            si = compute_interaction(c.tables, h, cur_o, wi_w)
+            si = compute_interaction(c.tables, h, cur_o, wi_w, None, time)
             opaque = self._opaque_mask(h["hit"], si["mat"])
             occ = occ | opaque
             passing = h["hit"] & ~opaque
@@ -162,6 +162,12 @@ class VolPathIntegrator(PathIntegrator):
         prev_bsdf_pdf = jnp.ones((n,), dtype=dt)
         prev_p = o
         med = jnp.full((n,), c.camera_medium, dtype=jnp.int32)
+        # per-lane shutter time (motion blur): same dimension-4 sample the
+        # camera consumed, pure in (pixel, sample) — animated scenes blend
+        # keyframed geometry at this time in every intersect below
+        time = (
+            sampler.get(pixel_xy, sample_index, 4) if self._animated else None
+        )
 
         for bounce in range(self.max_depth):
             base = 5 + N_DIMS_PER_BOUNCE * bounce
@@ -182,18 +188,10 @@ class VolPathIntegrator(PathIntegrator):
             for step in range(self.passthrough_steps):
                 # camera wavefront (bounce 0, first segment) is pixel-major
                 # coherent: skip the Morton sort like the surface path does
-                if (
-                    bounce == 0
-                    and step == 0
-                    and getattr(c.intersector, "supports_sort_hint", False)
-                ):
-                    h = c.intersector.intersect(
-                        o_seg, d, jnp.full((n,), INF_T, dtype=dt), sort=False
-                    )
-                else:
-                    h = c.intersector.intersect(
-                        o_seg, d, jnp.full((n,), INF_T, dtype=dt)
-                    )
+                h = self._intersect(
+                    o_seg, d, jnp.full((n,), INF_T, dtype=dt), time,
+                    sort=not (bounce == 0 and step == 0),
+                )
                 t_hit = jnp.where(h["hit"], h["t"], INF_T)
                 if self.media:
                     rng_track = make_track_rng(
@@ -215,7 +213,7 @@ class VolPathIntegrator(PathIntegrator):
                 else:
                     scat_s = jnp.zeros((n,), dtype=bool)
                     t_med_s = t_hit
-                si_s = compute_interaction(c.tables, h, o_seg, d)
+                si_s = compute_interaction(c.tables, h, o_seg, d, None, time)
                 opaque = self._opaque_mask(h["hit"], si_s["mat"])
                 # a lane settles when it scatters, hits a real surface, or
                 # escapes; pass-through budget exhaustion settles on the
@@ -331,7 +329,8 @@ class VolPathIntegrator(PathIntegrator):
                     * jnp.sign(jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)),
                 )
                 tr, occ = self._shadow_tr(
-                    med, shadow_o, wi_w, l_dist, pixel_xy, sample_index, bounce
+                    med, shadow_o, wi_w, l_dist, pixel_xy, sample_index,
+                    bounce, time,
                 )
                 vis = can & ~occ
                 w_l = jnp.where(l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf))

@@ -472,14 +472,14 @@ class PallasBVH2:
 
         ``remap=False`` returns raw 8-aligned leaf-slot ids (callers that
         fold ``slot_to_prim`` into their own prim permutation).
+        ``o``/``d`` may also be 3-tuples of [N] component columns (sorted
+        wavefronts come straight out of a lax.sort co-sort).
         """
-        n = o.shape[0]
-        pad = (-n) % BLOCK
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-            t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
-        total = n + pad
+        from pbrt_tpu.ops.stream_bvh import split_pad_rays
+
+        n = (o[0] if isinstance(o, (tuple, list)) else o).shape[0]
+        comps = split_pad_rays(o, d, t_max, n)
+        total = comps[0].shape[0]
         g = total // BLOCK
 
         def comp(x):
@@ -515,9 +515,7 @@ class PallasBVH2:
             self.nodes_f,
             self.tris,
             self.root_arr,
-            comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
-            comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2]),
-            comp(t_max),
+            *[comp(c) for c in comps],
         )
         flat = lambda x: x.reshape(-1)[:n]
         t_r, prim_r = flat(t_r), flat(prim_r)

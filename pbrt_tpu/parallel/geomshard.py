@@ -42,7 +42,7 @@ INF_T = 1e8
 
 
 def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
-                          bvh: bool = False):
+                          bvh: bool = False, pallas: bool = False):
     """Pad + split triangle SoA into [n_shards, T/n_shards, ...] arrays.
 
     ``bvh=True`` additionally builds a **per-shard BVH** (native binned
@@ -51,7 +51,21 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
     ``bvh_skip/bvh_first/bvh_count [S, M]`` and node counts ``nn [S]`` —
     the production formulation for BASELINE config 5 (1M-triangle scenes
     sharded over tp), replacing the O(rays x tris) brute sweep.
+
+    ``pallas=True`` (implies ``bvh``) additionally packs each shard's tree
+    into the streaming Pallas kernel layout (ops/stream_bvh.py
+    ``pack_stream_tables``), stacked over the shard dim: ``pk_nodes
+    [S,C,NP,16]``, ``pk_tris [S,C,LP,128]``, ``pk_roots [S,C]``,
+    ``pk_clmin/pk_clmax [S,C,3]``, ``pk_s2p [S,C*LP*8]``, plus a
+    ``leaf_tag [S,16]`` shape-marker carrying the static leaf width.
+    On accelerator backends ``local_closest_hit`` then traverses each
+    shard with the production streaming kernel inside ``shard_map`` (the
+    r3 XLA while_loop walk measured ~0.01 Mray/s on TPU; the kernel is
+    the only viable multi-chip path) — the XLA walk remains the CPU/test
+    formulation.
     """
+    if pallas:
+        bvh = True
     t = tri_data.count
     per = -(-t // n_shards)
     total = per * n_shards
@@ -90,6 +104,10 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
     from pbrt_tpu.accel.bvh import build_bvh
 
     per_prim_keys = [k for k in out if k not in ()]
+    # the stream kernel packs 16-triangle leaves (2 x 128-lane rows);
+    # leaf width must match between the packed tables and the XLA-walk
+    # unroll, so the tree itself is built at the chosen width
+    leaf = 16 if pallas else _SHARD_LEAF
     mins_l, maxs_l, skips_l, firsts_l, counts_l, nns = [], [], [], [], [], []
     for s in range(n_shards):
         v = int(out["valid"][s].sum())
@@ -102,7 +120,7 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
             nns.append(0)
             continue
         mins, maxs, skips, firsts, counts, perm = build_bvh(
-            out["p0"][s][:v], out["p1"][s][:v], out["p2"][s][:v], _SHARD_LEAF
+            out["p0"][s][:v], out["p1"][s][:v], out["p2"][s][:v], leaf
         )
         order = np.concatenate([perm, np.arange(v, per)])
         for k in per_prim_keys:
@@ -128,6 +146,63 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
     out["bvh_first"] = pad_nodes(firsts_l, 0, np.int32)
     out["bvh_count"] = pad_nodes(counts_l, 0, np.int32)
     out["nn"] = np.asarray(nns, dtype=np.int32)
+    if not pallas:
+        return out
+
+    # -- per-shard streaming-kernel tables, stacked over the shard dim ----
+    from pbrt_tpu.ops.stream_bvh import pack_stream_tables
+
+    packs = []
+    for s in range(n_shards):
+        v = int(out["valid"][s].sum())
+        if v == 0 or nns[s] == 0:
+            packs.append(None)
+            continue
+        packs.append(
+            pack_stream_tables(
+                mins_l[s], maxs_l[s], skips_l[s], firsts_l[s], counts_l[s],
+                out["p0"][s][:v].astype(np.float32),
+                out["p1"][s][:v].astype(np.float32),
+                out["p2"][s][:v].astype(np.float32),
+                leaf_slots=leaf,
+            )
+        )
+    c_pad = max(1, max((p["nodes"].shape[0] for p in packs if p), default=1))
+    np_pad = max(8, max((p["nodes"].shape[1] for p in packs if p), default=8))
+    lp_pad = max(8, max((p["tris"].shape[1] for p in packs if p), default=8))
+    spc = lp_pad * 8  # slots per cluster at the padded row count
+    pk_nodes = np.zeros((n_shards, c_pad, np_pad, 16), np.float32)
+    pk_tris = np.zeros((n_shards, c_pad, lp_pad, 128), np.float32)
+    pk_roots = np.zeros((n_shards, c_pad), np.int32)
+    # padded clusters get inverted bounds: they can never slab-hit, so the
+    # candidate phase skips them on every block
+    pk_clmin = np.full((n_shards, c_pad, 3), np.inf, np.float32)
+    pk_clmax = np.full((n_shards, c_pad, 3), -np.inf, np.float32)
+    pk_s2p = np.zeros((n_shards, c_pad, spc), np.int32)
+    for s, p in enumerate(packs):
+        if p is None:
+            continue
+        c_s, np_s = p["nodes"].shape[0], p["nodes"].shape[1]
+        lp_s = p["tris"].shape[1]
+        pk_nodes[s, :c_s, :np_s] = p["nodes"]
+        pk_tris[s, :c_s, :lp_s] = p["tris"]
+        pk_roots[s, :c_s] = p["roots"]
+        pk_clmin[s, :c_s] = p["cl_min"]
+        pk_clmax[s, :c_s] = p["cl_max"]
+        # re-lay slot ids onto the padded slots-per-cluster stride
+        old_spc = p["slots_per_cluster"]
+        pk_s2p[s, :c_s, :old_spc] = p["slot_to_prim"].reshape(
+            c_s, old_spc
+        ).astype(np.int32)
+    out["pk_nodes"] = pk_nodes
+    out["pk_tris"] = pk_tris
+    out["pk_roots"] = pk_roots
+    out["pk_clmin"] = pk_clmin
+    out["pk_clmax"] = pk_clmax
+    out["pk_s2p"] = pk_s2p.reshape(n_shards, c_pad * spc)
+    # static leaf width rides as an array SHAPE (shard dicts cross the
+    # shard_map boundary as pytrees of arrays, so a plain int can't)
+    out["leaf_tag"] = np.zeros((n_shards, leaf), np.float32)
     return out
 
 
@@ -146,6 +221,11 @@ def _local_bvh_hit(shard, o, d, t_max):
     nmin, nmax = shard["bvh_min"], shard["bvh_max"]
     skip, first, count = shard["bvh_skip"], shard["bvh_first"], shard["bvh_count"]
     nn = shard["nn"][0]
+    # static leaf-test unroll width: matches the width the shard's tree
+    # was built with (16 when packed Pallas tables ride along, else 4)
+    leaf_w = (
+        shard["leaf_tag"].shape[-1] if "leaf_tag" in shard else _SHARD_LEAF
+    )
     p0s, p1s, p2s = shard["p0"], shard["p1"], shard["p2"]
     gids = shard["gid"]
     valids = shard["valid"]
@@ -174,7 +254,7 @@ def _local_bvh_hit(shard, o, d, t_max):
         cnt = count[ni]
         is_leaf = cnt > 0
         fst = first[ni]
-        for k in range(_SHARD_LEAF):
+        for k in range(leaf_w):
             pid = jnp.minimum(fst + k, t_tot - 1)
             ok0 = box_hit & is_leaf & (k < cnt) & valids[pid]
             p0, p1, p2 = p0s[pid], p1s[pid], p2s[pid]
@@ -223,14 +303,64 @@ def _local_bvh_hit(shard, o, d, t_max):
     return bt, bi, b0c, b1c
 
 
+def _local_stream_hit(shard, o, d, t_max, interpret=False):
+    """Per-shard closest hit through the production streaming Pallas
+    kernel (ops/stream_bvh.py) — runs INSIDE ``shard_map``, so each device
+    walks only its own cluster tables.
+
+    The kernel carries only (t, slot); barycentrics are re-derived here by
+    projecting the hit point onto the dual basis of the winning triangle's
+    edges (same scheme as the single-chip path, scene/builder.py
+    compute_interaction) — zero extra walk state.
+    Returns (t, local_idx, b0, b1) like :func:`local_closest_hit`.
+    """
+    from pbrt_tpu.ops.stream_bvh import stream_traverse
+
+    n = o.shape[0]
+    tmax = jnp.broadcast_to(t_max, (n,)).astype(o.dtype)
+    t, slot = stream_traverse(
+        shard["pk_nodes"], shard["pk_tris"], shard["pk_roots"],
+        shard["pk_clmin"], shard["pk_clmax"], o, d, tmax,
+        any_hit=False, leaf_slots=shard["leaf_tag"].shape[-1],
+        interpret=interpret,
+    )
+    idx = jnp.where(slot >= 0, shard["pk_s2p"][jnp.maximum(slot, 0)], -1)
+    safe = jnp.maximum(idx, 0)
+    p0, p1, p2 = shard["p0"][safe], shard["p1"][safe], shard["p2"][safe]
+    p = o + d * t[..., None]
+    e1, e2, vp = p1 - p0, p2 - p0, p - p0
+    d11 = jnp.sum(e1 * e1, -1)
+    d12 = jnp.sum(e1 * e2, -1)
+    d22 = jnp.sum(e2 * e2, -1)
+    den = d11 * d22 - d12 * d12
+    inv_den = jnp.where(
+        jnp.abs(den) > 1e-20, 1.0 / jnp.where(den == 0.0, 1.0, den), 0.0
+    )
+    v1 = jnp.sum(vp * e1, -1)
+    v2 = jnp.sum(vp * e2, -1)
+    b0 = (d22 * v1 - d12 * v2) * inv_den
+    b1 = (d11 * v2 - d12 * v1) * inv_den
+    hitm = idx >= 0
+    return (
+        jnp.where(hitm, t, tmax),
+        idx.astype(jnp.int32),
+        jnp.where(hitm, b0, 0.0),
+        jnp.where(hitm, b1, 0.0),
+    )
+
+
 def local_closest_hit(shard, o, d, t_max, chunk=256):
     """Closest hit of rays [N] against this device's triangle slice.
 
     Returns (t [N], local_idx [N], b0, b1); t = t_max when missed.
-    Dispatches to the per-shard BVH walk when the shard tables carry one
-    (``shard_triangle_arrays(..., bvh=True)``); the brute sweep remains
-    the reference formulation.
+    Dispatch (trace-time): streaming Pallas kernel when the shard carries
+    packed cluster tables (``pallas=True``) and the backend is an
+    accelerator; otherwise the per-shard XLA BVH walk (``bvh=True``) —
+    the CPU/test formulation; else the brute sweep (reference
+    formulation).
     """
+    if "pk_nodes" in shard and jax.default_backend() not in ("cpu",):
+        return _local_stream_hit(shard, o, d, t_max)
     if "bvh_skip" in shard:
         return _local_bvh_hit(shard, o, d, t_max)
     p0s, p1s, p2s = shard["p0"], shard["p1"], shard["p2"]
@@ -448,23 +578,28 @@ def ring_closest_hit(shard, o, d, t_max, tp_size: int, axis="tp"):
 # ---------------------------------------------------------------------------
 
 
-def _shard_specs(tp_axis, bvh, P):
+def _shard_specs(tp_axis, bvh, P, pallas=False):
     """PartitionSpec dict matching shard_triangle_arrays' key set."""
     spec = {k: P(tp_axis, None) for k in (
         "p0", "p1", "p2", "uv0", "uv1", "uv2", "n0", "n1", "n2"
     )}
     spec.update({k: P(tp_axis) for k in ("mat", "light", "valid", "gid")})
-    if bvh:
+    if bvh or pallas:
         spec.update({k: P(tp_axis, None) for k in ("bvh_min", "bvh_max")})
         spec.update(
             {k: P(tp_axis) for k in ("bvh_skip", "bvh_first", "bvh_count", "nn")}
         )
+    if pallas:
+        spec.update({k: P(tp_axis) for k in (
+            "pk_nodes", "pk_tris", "pk_roots", "pk_clmin", "pk_clmax",
+            "pk_s2p", "leaf_tag",
+        )})
     return spec
 
 
 def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
                          max_depth=3, dp_axis="dp", tp_axis="tp",
-                         formulation="allreduce", bvh=False):
+                         formulation="allreduce", bvh=False, pallas=False):
     """Builds a jitted SPMD render step over a (dp, tp) mesh.
 
     Inputs at call time: (state, shard_tables_local?, pixels, sidx) — the
@@ -542,7 +677,7 @@ def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
             partial = jax.tree_util.tree_map(lambda x: x / tp_size, partial)
         return jax.tree_util.tree_map(jnp.add, state, partial)
 
-    shard_spec = _shard_specs(tp_axis, bvh, P)
+    shard_spec = _shard_specs(tp_axis, bvh, P, pallas)
     ray_axes = (dp_axis, tp_axis) if formulation == "ring" else dp_axis
     fn = shard_map(
         local_step,
@@ -556,7 +691,7 @@ def make_sharded_path_fn(mesh, camera, sampler, film, kd_table, env_l,
 
 def make_sharded_grad_fn(mesh, camera, sampler, film, target,
                          max_depth=3, dp_axis="dp", tp_axis="tp", bvh=False,
-                         remat=True):
+                         pallas=False, remat=True):
     """Jitted loss+gradient step with geometry sharded over tp: the
     path-replay inverse-rendering formulation of BASELINE config 5.
 
@@ -648,7 +783,7 @@ def make_sharded_grad_fn(mesh, camera, sampler, film, target,
         )
         return loss, grads
 
-    shard_spec = _shard_specs(tp_axis, bvh, P)
+    shard_spec = _shard_specs(tp_axis, bvh, P, pallas)
     fn = shard_map(
         local_step,
         mesh=mesh,

@@ -406,3 +406,34 @@ def test_stream_path_uv_bary_parity():
     img_brute = run(False)
     img_stream = run(True)
     np.testing.assert_allclose(img_stream, img_brute, atol=2e-3)
+
+
+def test_stream_fused_leaf_walk_matches_plain():
+    """Fused-leaf traversal (leaf children intersected at the parent under
+    lax.cond — ~2x fewer loop iterations on 16-slot-leaf trees) must
+    produce identical hits to the plain ordered walk."""
+    from pbrt_tpu.ops import stream_bvh as SB
+    from pbrt_tpu.ops.stream_bvh import StreamBVH
+
+    tri = random_mesh(2500, seed=5)
+    mins, maxs, skips, firsts, counts, perm = build_bvh(
+        tri.p0, tri.p1, tri.p2, 16
+    )
+    sb = StreamBVH(
+        mins, maxs, skips, firsts, counts,
+        tri.p0[perm], tri.p1[perm], tri.p2[perm],
+        target_tris=700, interpret=True, leaf_slots=16,
+    )
+    o, d = random_rays(1024, seed=6)
+    tm = jnp.full((1024,), 1e8, jnp.float32)
+    args = (sb.nodes, sb.tris, sb.roots, sb.cl_min, sb.cl_max, o, d, tm)
+    t1, p1 = SB.stream_traverse(*args, fused=False, leaf_slots=16,
+                                interpret=True)
+    t2, p2 = SB.stream_traverse(*args, fused=True, leaf_slots=16,
+                                interpret=True)
+    h1 = np.asarray(p1) >= 0
+    np.testing.assert_array_equal(h1, np.asarray(p2) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(t1)[h1], np.asarray(t2)[h1], rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(p1)[h1], np.asarray(p2)[h1])

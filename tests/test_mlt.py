@@ -91,3 +91,48 @@ def test_mlt_b_matches_bootstrap_luminance():
     np.testing.assert_allclose(
         r_mlt.integrator.last_b, float(lum.mean()), rtol=0.25
     )
+
+
+FOG_DIRECT = """
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [0.25 0.25 0.25] "rgb sigma_s" [0 0 0]
+MediumInterface "" "fog"
+LookAt 0 0 4  0 0 0  0 1 0
+Camera "orthographic" "float screenwindow" [-1 1 -1 1]
+Sampler "halton" "integer pixelsamples" 32
+Integrator "{integ}" "integer maxdepth" 3 {extra}
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+WorldBegin
+LightSource "point" "rgb I" [12 12 12] "point from" [0 0 3]
+Material "matte" "rgb Kd" [0.6 0.6 0.6]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -40 -40 0   40 -40 0   40 40 0   -40 40 0 ]
+WorldEnd
+"""
+
+
+def test_mlt_media_target_is_volumetric():
+    """Media scenes: MLT's unidirectional target must be the FULL
+    volumetric estimator (volpath), not the surface path loop — the fog's
+    attenuation is part of f(u).  The r3 fallback silently targeted the
+    surface integrator, rendering fog scenes un-attenuated (PARITY known
+    gap, now closed): MLT and volpath must agree on the fogged image."""
+
+    def run(integ, extra=""):
+        api = PbrtAPI(Options(ray_batch=1 << 14), render_on_world_end=False)
+        api.init()
+        api.parse_string(FOG_DIRECT.format(integ=integ, extra=extra))
+        r = Renderer(api.scene, api.opt)
+        state = r.render(progress=False)
+        return np.asarray(r.film.to_rgb(state))
+
+    vol = run("volpath")
+    mlt = run("mlt", '"integer mutationsperpixel" 96')
+    assert np.isfinite(mlt).all()
+    # whole-image brightness: fog attenuation must be present in the MLT
+    # target (the old surface-target bug rendered ~exp(+0.25*chord) hotter)
+    np.testing.assert_allclose(mlt.mean(), vol.mean(), rtol=0.15)
+    # center region agrees too (smooth direct-light gradient)
+    np.testing.assert_allclose(
+        mlt[4:8, 4:8].mean(), vol[4:8, 4:8].mean(), rtol=0.2
+    )

@@ -257,8 +257,13 @@ class BVHIntersector:
         # shadows) have equal high bits and fall through to direction bits
         key = (morton << 15) | (octant << 12) | dir_m
         if t_max is not None:
-            dead = (t_max <= RAY_EPS).astype(jnp.uint32)
-            key = key | (dead << 31)
+            import os
+
+            # PBRT_TPU_NO_DEADBIT=1 disables the dead-lane packing for the
+            # compaction A/B measurement (scripts/profile_r4e.py)
+            if os.environ.get("PBRT_TPU_NO_DEADBIT", "0") in ("", "0"):
+                dead = (t_max <= RAY_EPS).astype(jnp.uint32)
+                key = key | (dead << 31)
         return key
 
     def _traverse_pallas_sorted(self, o, d, t_max, any_hit):

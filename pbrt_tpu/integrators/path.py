@@ -86,16 +86,15 @@ class PathIntegrator:
         """Keep the wavefront permanently in ray-sorted order across
         bounces instead of sort/unsort-ing around every intersect.
 
-        Measured motivation (RESULTS.md r3 forensics): EVERY
-        permutation-shaped XLA op on a 262k-lane wavefront costs ~8 ms on
-        a v5e (argsort 8.1, scatter-inverse 8.0, [N,3] row gather 8.3 —
-        TPU gathers run as a serial scalar loop, ~30 ns/row regardless of
-        row width).  The old scheme paid sort+inverse+gather+unsort around
-        BOTH the closest-hit and the shadow intersect: ~6 permutation ops
-        per bounce.  Keeping lanes sorted costs ONE argsort + ONE packed
-        row-gather per bounce (the per-row cost is ~flat in row width, so
-        all ~22 carry columns ride a single [N,22] gather) and one final
-        scatter per wavefront to restore lane order for the film.
+        Measured motivation (RESULTS.md r4): TPU gathers run as a serial
+        scalar loop (~30 ns/row), but ``lax.sort`` moves payload operands
+        through its vector compare-exchange network nearly free (+~3 ms
+        for 21 columns at 262k lanes vs ~26 ms for pack+row-gather).  So
+        each bounce pays ONE co-sort that carries the whole path state
+        into the next traversal order, the closest-hit sweep runs
+        sort-free, and one final scatter restores lane order for the
+        film.  (Shadow sweeps still co-sort per call: their directions
+        diverge from the carry order — r4 A/B.)
         """
         if self._animated:
             return False
@@ -108,7 +107,6 @@ class PathIntegrator:
             getattr(itx, "_pallas", None) is not None
             or getattr(itx, "n_tri", 0) > 0
         )
-
 
     @staticmethod
     def _detach(*xs):

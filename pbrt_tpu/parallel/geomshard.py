@@ -203,6 +203,19 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
     # static leaf width rides as an array SHAPE (shard dicts cross the
     # shard_map boundary as pytrees of arrays, so a plain int can't)
     out["leaf_tag"] = np.zeros((n_shards, leaf), np.float32)
+    # packed winner-attribute rows: TPU gathers cost ~30 ns per ROW nearly
+    # independent of width (RESULTS r4), so the hit-attribute lookup is
+    # ONE [N,27] row gather instead of ~12 separate array gathers.
+    # Layout: p0 p1 p2 | n0 n1 n2 | uv0 uv1 uv2 | mat light gid
+    out["attr_rows"] = np.concatenate([
+        out["p0"], out["p1"], out["p2"],
+        out["n0"], out["n1"], out["n2"],
+        out["uv0"], out["uv1"], out["uv2"],
+        out["mat"][..., None].astype(np.float32),
+        out["light"][..., None].astype(np.float32),
+        # gid pads with 2^30 (exactly representable in f32)
+        out["gid"][..., None].astype(np.float32),
+    ], axis=-1).astype(np.float32)
     return out
 
 
@@ -303,16 +316,19 @@ def _local_bvh_hit(shard, o, d, t_max):
     return bt, bi, b0c, b1c
 
 
-def _local_stream_hit(shard, o, d, t_max, interpret=False):
+def _local_stream_hit(shard, o, d, t_max, interpret=False, bary=False):
     """Per-shard closest hit through the production streaming Pallas
     kernel (ops/stream_bvh.py) — runs INSIDE ``shard_map``, so each device
     walks only its own cluster tables.
 
-    The kernel carries only (t, slot); barycentrics are re-derived here by
-    projecting the hit point onto the dual basis of the winning triangle's
-    edges (same scheme as the single-chip path, scene/builder.py
-    compute_interaction) — zero extra walk state.
-    Returns (t, local_idx, b0, b1) like :func:`local_closest_hit`.
+    The kernel carries only (t, slot).  ``bary=True`` re-derives
+    barycentrics here by projecting the hit point onto the dual basis of
+    the winning triangle's edges (tests); production callers leave it
+    False — the winner's b0/b1 are derived AFTER the tp-reduction from
+    the broadcast attribute rows (interaction_from_reduced), saving three
+    [N,3] row gathers per local hit.
+    Returns (t, local_idx, b0, b1) like :func:`local_closest_hit`
+    (b0/b1 = None when ``bary=False``).
     """
     from pbrt_tpu.ops.stream_bvh import stream_traverse
 
@@ -325,6 +341,10 @@ def _local_stream_hit(shard, o, d, t_max, interpret=False):
         interpret=interpret,
     )
     idx = jnp.where(slot >= 0, shard["pk_s2p"][jnp.maximum(slot, 0)], -1)
+    hitm = idx >= 0
+    t_out = jnp.where(hitm, t, tmax)
+    if not bary:
+        return t_out, idx.astype(jnp.int32), None, None
     safe = jnp.maximum(idx, 0)
     p0, p1, p2 = shard["p0"][safe], shard["p1"][safe], shard["p2"][safe]
     p = o + d * t[..., None]
@@ -340,9 +360,8 @@ def _local_stream_hit(shard, o, d, t_max, interpret=False):
     v2 = jnp.sum(vp * e2, -1)
     b0 = (d22 * v1 - d12 * v2) * inv_den
     b1 = (d11 * v2 - d12 * v1) * inv_den
-    hitm = idx >= 0
     return (
-        jnp.where(hitm, t, tmax),
+        t_out,
         idx.astype(jnp.int32),
         jnp.where(hitm, b0, 0.0),
         jnp.where(hitm, b1, 0.0),
@@ -428,22 +447,56 @@ def allreduce_closest(shard, t_local, idx_local, b0, b1, axis="tp"):
 
     Tie-break: minimum (t, global_id) lexicographically via pmin on a
     fused key, making the result shard-count invariant.
+
+    When the shard carries packed ``attr_rows`` (pallas tables) the hit
+    attributes come from ONE [N,27] row gather + one psum, replacing ~12
+    separate array gathers (TPU gathers cost per ROW, ~flat in width);
+    b0/b1 may then be None — barycentrics are derived downstream from the
+    broadcast winner rows (interaction_from_reduced).
     """
-    gid = jnp.where(idx_local >= 0, shard["gid"][jnp.maximum(idx_local, 0)], jnp.int32(2**30))
+    safe = jnp.maximum(idx_local, 0)
+    rows = None
+    if "attr_rows" in shard:
+        rows = shard["attr_rows"][safe]
+        gid = jnp.where(
+            idx_local >= 0, jnp.round(rows[:, 26]).astype(jnp.int32),
+            jnp.int32(2**30),
+        )
+    else:
+        gid = jnp.where(idx_local >= 0, shard["gid"][safe], jnp.int32(2**30))
     t_global = jax.lax.pmin(t_local, axis)
     # winner: my t equals the global min AND my gid is the min among ties
     is_tie = t_local <= t_global + 0.0
     gid_key = jnp.where(is_tie, gid, jnp.int32(2**30))
     gid_min = jax.lax.pmin(gid_key, axis)
     winner = is_tie & (gid == gid_min) & (idx_local >= 0)
+    hit = gid_min < 2**30
 
     def bcast(x, fill=0.0):
         return jax.lax.psum(jnp.where(winner[..., None] if x.ndim > 1 else winner, x, fill), axis)
 
-    safe = jnp.maximum(idx_local, 0)
+    if rows is not None:
+        w = bcast(rows)  # one [N,27] collective broadcast of the winner
+        out = {
+            "t": t_global,
+            "hit": hit,
+            "prim": jax.lax.psum(jnp.where(winner, gid, 0), axis),
+            "b0": None if b0 is None else jax.lax.psum(
+                jnp.where(winner, b0, 0.0), axis),
+            "b1": None if b1 is None else jax.lax.psum(
+                jnp.where(winner, b1, 0.0), axis),
+            "p0": w[:, 0:3], "p1": w[:, 3:6], "p2": w[:, 6:9],
+            "n0": w[:, 9:12], "n1": w[:, 12:15], "n2": w[:, 15:18],
+            "uv0": w[:, 18:20], "uv1": w[:, 20:22], "uv2": w[:, 22:24],
+            "mat": jnp.round(w[:, 24]).astype(jnp.int32)
+            + jnp.where(hit, 0, -1),
+            "light": jnp.round(w[:, 25]).astype(jnp.int32)
+            + jnp.where(hit, 0, -1),
+        }
+        return out
     out = {
         "t": t_global,
-        "hit": gid_min < 2**30,
+        "hit": hit,
         "prim": jax.lax.psum(jnp.where(winner, gid, 0), axis),
         "b0": jax.lax.psum(jnp.where(winner, b0, 0.0), axis),
         "b1": jax.lax.psum(jnp.where(winner, b1, 0.0), axis),
@@ -472,11 +525,30 @@ def sharded_occluded(shard, o, d, t_max, axis="tp"):
 
 def interaction_from_reduced(hit, o, d):
     """Reduced hit record -> SoA interaction (like compute_interaction but
-    from the broadcast winner attributes; no further gathers needed)."""
+    from the broadcast winner attributes; no further gathers needed).
+
+    ``b0``/``b1`` = None (streaming-kernel shards) derives barycentrics by
+    projecting the hit point onto the dual basis of the winner's edges —
+    the same scheme as the single-chip path (compute_interaction)."""
     t = hit["t"]
     p = o + d * t[..., None]
     b0 = hit["b0"]
     b1 = hit["b1"]
+    if b0 is None:
+        e1 = hit["p1"] - hit["p0"]
+        e2 = hit["p2"] - hit["p0"]
+        vp = p - hit["p0"]
+        d11 = jnp.sum(e1 * e1, -1)
+        d12 = jnp.sum(e1 * e2, -1)
+        d22 = jnp.sum(e2 * e2, -1)
+        den = d11 * d22 - d12 * d12
+        inv_den = jnp.where(
+            jnp.abs(den) > 1e-20, 1.0 / jnp.where(den == 0.0, 1.0, den), 0.0
+        )
+        v1 = jnp.sum(vp * e1, -1)
+        v2 = jnp.sum(vp * e2, -1)
+        b0 = (d22 * v1 - d12 * v2) * inv_den
+        b1 = (d11 * v2 - d12 * v1) * inv_den
     b2 = 1.0 - b0 - b1
     ng = jnp.cross(hit["p1"] - hit["p0"], hit["p2"] - hit["p0"])
     ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
@@ -545,6 +617,10 @@ def ring_closest_hit(shard, o, d, t_max, tp_size: int, axis="tp"):
         t_l, idx_l, b0, b1 = local_closest_hit(
             shard, packet["o"], packet["d"], packet["tmax"]
         )
+        derive_bary = b0 is None
+        if derive_bary:
+            b0 = jnp.zeros((n,), dt)
+            b1 = jnp.zeros((n,), dt)
         safe = jnp.maximum(idx_l, 0)
         gid_l = jnp.where(idx_l >= 0, shard["gid"][safe], jnp.int32(2**30))
         better = (idx_l >= 0) & (
@@ -565,8 +641,10 @@ def ring_closest_hit(shard, o, d, t_max, tp_size: int, axis="tp"):
         "t": packet["t"],
         "hit": found,
         "prim": jnp.where(found, packet["gid"], 0),
-        "b0": packet["b0"],
-        "b1": packet["b1"],
+        # stream shards: interaction_from_reduced derives bary from the
+        # carried winner rows instead
+        "b0": None if derive_bary else packet["b0"],
+        "b1": None if derive_bary else packet["b1"],
         **{k: packet[k] for k in _REC_VEC},
         "mat": packet["mat"],
         "light": packet["light"],
@@ -592,7 +670,7 @@ def _shard_specs(tp_axis, bvh, P, pallas=False):
     if pallas:
         spec.update({k: P(tp_axis) for k in (
             "pk_nodes", "pk_tris", "pk_roots", "pk_clmin", "pk_clmax",
-            "pk_s2p", "leaf_tag",
+            "pk_s2p", "leaf_tag", "attr_rows",
         )})
     return spec
 

@@ -173,7 +173,7 @@ def test_stream_shard_kernel_matches_xla_walk():
         }
         t_a, i_a, b0_a, b1_a = _local_bvh_hit(sh, o, d, tmax)
         t_b, i_b, b0_b, b1_b = _local_stream_hit(sh, o, d, tmax,
-                                                 interpret=True)
+                                                 interpret=True, bary=True)
         hit_a = np.asarray(i_a) >= 0
         hit_b = np.asarray(i_b) >= 0
         np.testing.assert_array_equal(hit_a, hit_b)

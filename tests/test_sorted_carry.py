@@ -117,3 +117,20 @@ def test_sorted_carry_gradients_match():
     flat_b = jax.tree.leaves(grads[True])
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dead_bit_packing_does_not_change_image():
+    """The dead-lane sort bit (wavefront compaction) only regroups
+    packets; images must be identical with it disabled (measured on-chip:
+    8.8% faster ON at maxdepth 8, scripts/profile_r4e.py)."""
+    old = os.environ.get("PBRT_TPU_NO_DEADBIT")
+    img_on = _render(disable_sc=False)
+    os.environ["PBRT_TPU_NO_DEADBIT"] = "1"
+    try:
+        img_off = _render(disable_sc=False)
+    finally:
+        if old is None:
+            os.environ.pop("PBRT_TPU_NO_DEADBIT", None)
+        else:
+            os.environ["PBRT_TPU_NO_DEADBIT"] = old
+    np.testing.assert_allclose(img_on, img_off, atol=1e-6)

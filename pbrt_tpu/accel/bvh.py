@@ -74,6 +74,57 @@ def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
 
     perm = np.arange(t, dtype=np.int64)
     mins, maxs, skips, firsts, counts = [], [], [], [], []
+    N_BINS = 16
+
+    def _sah_split(pr):
+        """Binned SAH on the largest centroid axis (pbrt-v3 §4.3.2);
+        returns the number of prims in the left child, or None for a
+        degenerate spread (caller median-splits).  Mirrors the native
+        builder (native/pbrt_native.cpp) so the Python fallback produces
+        the same tree CLASS — r3 verdict: the old median split gave
+        CPU/test users a structurally worse tree than production."""
+        cen = centroid[pr]
+        c_lo = cen.min(axis=0)
+        c_hi = cen.max(axis=0)
+        axis = int(np.argmax(c_hi - c_lo))
+        ext = c_hi[axis] - c_lo[axis]
+        if ext <= 1e-12:
+            return None, axis
+        bins = np.minimum(
+            ((cen[:, axis] - c_lo[axis]) / ext * N_BINS).astype(np.int64),
+            N_BINS - 1,
+        )
+        lo_b = bb_min[pr]
+        hi_b = bb_max[pr]
+        binned_min = np.full((N_BINS, 3), np.inf, np.float32)
+        binned_max = np.full((N_BINS, 3), -np.inf, np.float32)
+        np.minimum.at(binned_min, bins, lo_b)
+        np.maximum.at(binned_max, bins, hi_b)
+        cnt = np.bincount(bins, minlength=N_BINS)
+
+        def areas(mn, mx):
+            e = np.maximum(mx - mn, 0.0)
+            return e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 0] * e[:, 2]
+
+        lmin = np.minimum.accumulate(binned_min, axis=0)
+        lmax = np.maximum.accumulate(binned_max, axis=0)
+        rmin = np.minimum.accumulate(binned_min[::-1], axis=0)[::-1]
+        rmax = np.maximum.accumulate(binned_max[::-1], axis=0)[::-1]
+        lcnt = np.cumsum(cnt)
+        rcnt = lcnt[-1] - lcnt
+        # split after bin k (k = 0..N_BINS-2)
+        cost = (
+            areas(lmin, lmax)[:-1] * lcnt[:-1]
+            + areas(rmin, rmax)[1:] * rcnt[:-1]
+        )
+        valid = (lcnt[:-1] > 0) & (rcnt[:-1] > 0)
+        if not valid.any():
+            return None, axis
+        cost = np.where(valid, cost, np.inf)
+        k = int(np.argmin(cost))
+        order = np.argsort(bins, kind="stable")
+        n_left = int(lcnt[k])
+        return (order, n_left), axis
 
     def build_rec(lo, hi):
         idx = len(mins)
@@ -87,11 +138,12 @@ def build_bvh(p0, p1, p2, leaf_size=LEAF_SIZE, use_native=True):
         else:
             firsts.append(0)
             counts.append(0)
-            cen = centroid[pr]
-            ext = cen.max(axis=0) - cen.min(axis=0)
-            axis = int(np.argmax(ext))
-            mid = (hi - lo) // 2
-            order = np.argpartition(cen[:, axis], mid)
+            split, axis = _sah_split(pr)
+            if split is not None:
+                order, mid = split
+            else:
+                mid = (hi - lo) // 2
+                order = np.argpartition(centroid[pr][:, axis], mid)
             perm[lo:hi] = pr[order]
             build_rec(lo, lo + mid)
             build_rec(lo + mid, hi)

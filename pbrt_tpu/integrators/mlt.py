@@ -20,8 +20,10 @@ original formulation) — the wavefront evaluates every strategy per sample
 anyway, so depth decomposition would only discard work.  The Markov
 machinery (two-scale mutations, large steps, f-proportional bootstrap
 seeding, expected-value splatting, b-normalization) follows
-pbrt §16.4.3-16.4.5.  ``strategy="path"`` keeps the unidirectional
-target (cheaper; used for media scenes, where BDPT defers to volpath).
+pbrt §16.4.3-16.4.5.  ``strategy="path"`` keeps a unidirectional
+target: the surface path loop, or — on media scenes — the FULL
+volumetric estimator (volpath), so medium attenuation/scattering is part
+of f(u) (r4 fix; tests/test_mlt.py pins MLT == volpath on fog).
 """
 
 from __future__ import annotations
@@ -78,6 +80,7 @@ class MLTIntegrator(PathIntegrator):
         self.sigma = float(sigma)
         self.n_chains_cap = int(n_chains_cap)
         self.strategy = strategy
+        self._uni = None  # non-None = explicit unidirectional target
         if strategy == "bdpt":
             from pbrt_tpu.integrators.bdpt import BDPTIntegrator
 
@@ -105,7 +108,6 @@ class MLTIntegrator(PathIntegrator):
             self.n_dims = 5 + N_DIMS_PER_BOUNCE * self.max_depth
         else:
             self._bdpt = None
-            self._uni = None  # use own (PathIntegrator) li
             self.n_dims = 5 + 7 * self.max_depth
 
     # -- sample-vector -> radiance ------------------------------------------

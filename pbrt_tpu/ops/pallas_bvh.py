@@ -318,6 +318,11 @@ def _ordered_kernel(
                 )
                 best_prim = jnp.where(ok, pid, best_prim)
                 best_t = jnp.where(ok, tt, best_t)
+            if any_hit:
+                # found lanes stop accepting and pulling boxes; all-found
+                # packets then drain the stack in cheap root-fail steps —
+                # no per-iteration jnp.all() reduction
+                best_t = jnp.where(best_prim >= 0, 0.0, best_t)
             # leaves always pop
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
@@ -329,8 +334,13 @@ def _ordered_kernel(
             nf = nodes_f_ref[node]
             tn_l, hit_l = slab(nf, 0, best_t)
             tn_r, hit_r = slab(nf, 6, best_t)
-            any_l = jnp.any(hit_l)
-            any_r = jnp.any(hit_r)
+            # ONE cross-lane reduction for both children (packed counts:
+            # left in the low 11 bits, right above — 1024-lane blocks)
+            sred = jnp.sum(
+                hit_l.astype(jnp.int32) + 2048 * hit_r.astype(jnp.int32)
+            )
+            any_l = (sred & 2047) > 0
+            any_r = sred >= 2048
             # child refs stored as exact f32 integers (|ref| < 2^24)
             l_ref = nf[12].astype(jnp.int32)
             r_ref = nf[13].astype(jnp.int32)
@@ -366,8 +376,6 @@ def _ordered_kernel(
             need_pop, jnp.where(empty, _DONE, popped), nxt
         )
         sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
-        if any_hit:
-            nxt = jnp.where(jnp.all(best_prim >= 0), _DONE, nxt)
         return nxt, sp, best_t, best_prim
 
     def cond(state):

@@ -257,6 +257,13 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
                 )
                 best_prim = jnp.where(ok, pid, best_prim)
                 best_t = jnp.where(ok, tt, best_t)
+            if any_hit:
+                # a found lane stops accepting AND stops pulling boxes:
+                # best_t=0 fails every later t_near < best_t test, so
+                # all-found packets terminate by draining the stack — no
+                # per-iteration jnp.all() reduction (callers of occluded
+                # read only prim)
+                best_t = jnp.where(best_prim >= 0, 0.0, best_t)
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
                     best_t, best_prim)
@@ -267,8 +274,14 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
             nf = node_row(node)
             tn_l, hit_l = slab(nf, 0, best_t)
             tn_r, hit_r = slab(nf, 6, best_t)
-            any_l = jnp.any(hit_l)
-            any_r = jnp.any(hit_r)
+            # ONE cross-lane reduction for both children: per-lane packed
+            # counts (left in the low 11 bits of the sum, right above —
+            # 1024 lanes max, so 2048 separates exactly)
+            s = jnp.sum(
+                hit_l.astype(jnp.int32) + 2048 * hit_r.astype(jnp.int32)
+            )
+            any_l = (s & 2047) > 0
+            any_r = s >= 2048
             l_ref = nf[12].astype(jnp.int32)
             r_ref = nf[13].astype(jnp.int32)
             left_first = ((nf[14].astype(jnp.int32) >> octant) & 1) == 1
@@ -294,8 +307,6 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
         empty = sp <= 0
         nxt = jnp.where(need_pop, jnp.where(empty, _DONE, popped), nxt)
         sp = jnp.where(need_pop & jnp.logical_not(empty), sp - 1, sp)
-        if any_hit:
-            nxt = jnp.where(jnp.all(best_prim >= 0), _DONE, nxt)
         return nxt, sp, best_t, best_prim
 
     def cond(state):

@@ -69,10 +69,54 @@ def main():
         print(f"torus50k ({n_tris} tris): {time.time()-t0:.1f}s", flush=True)
 
     if "glass" in which:
-        run("glass", open("/tmp/vtest/glass.pbrt").read().replace("[96]", "[200]").replace('"glass_out.png"', '"x.png"').replace("16", "48"))
+        # self-contained (the r2 version read an ephemeral /tmp scene)
+        run("glass", """
+LookAt 0 1.2 3.2  0 0.6 0  0 1 0
+Camera "perspective" "float fov" 50
+Sampler "halton" "integer pixelsamples" 48
+Integrator "path" "integer maxdepth" 8
+Film "image" "integer xresolution" [200] "integer yresolution" [200]
+WorldBegin
+LightSource "infinite" "rgb L" [0.45 0.55 0.7]
+LightSource "point" "rgb I" [14 13 12] "point from" [2 3 2]
+Material "glass"
+AttributeBegin
+  Translate 0 0.7 0
+  Shape "sphere" "float radius" 0.65
+AttributeEnd
+Material "matte" "rgb Kd" [0.55 0.5 0.45]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -4 0 -4   4 0 -4   4 0 4   -4 0 4 ]
+WorldEnd
+""")
 
     if "fog" in which:
-        run("fog", open("/tmp/vtest/fog.pbrt").read().replace("[96]", "[200]").replace("[72]", "[150]").replace('"fog_out.png"', '"x.png"').replace('"integer pixelsamples" 8', '"integer pixelsamples" 32'))
+        run("fog", """
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [0.02 0.02 0.02] "rgb sigma_s" [0.12 0.12 0.12]
+MediumInterface "" "fog"
+LookAt 0 1.4 4  0 0.8 0  0 1 0
+Camera "perspective" "float fov" 55
+Sampler "halton" "integer pixelsamples" 128
+Integrator "volpath" "integer maxdepth" 5
+Film "image" "integer xresolution" [200] "integer yresolution" [150]
+WorldBegin
+LightSource "point" "rgb I" [30 29 26] "point from" [1.5 3 1.5]
+Material "matte" "rgb Kd" [0.7 0.3 0.25]
+AttributeBegin
+  Translate -0.8 0.5 0
+  Shape "sphere" "float radius" 0.5
+AttributeEnd
+Material "matte" "rgb Kd" [0.3 0.5 0.7]
+AttributeBegin
+  Translate 0.8 0.5 0.4
+  Shape "sphere" "float radius" 0.5
+AttributeEnd
+Material "matte" "rgb Kd" [0.5 0.5 0.5]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -5 0 -5   5 0 -5   5 0 5   -5 0 5 ]
+WorldEnd
+""")
 
     if "sppm" in which:
         sys.path.insert(0, "/root/repo/tests")

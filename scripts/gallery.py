@@ -131,9 +131,22 @@ WorldEnd
         )
 
 
-def round3_gallery():
+def round3_gallery(only=None):
     """Round-3 additions: 1M-triangle torus (streaming BVH), motion blur,
     MLT caustic.  Run on TPU: GALLERY_CPU=0 python scripts/gallery.py r3"""
+    from pbrt_tpu.core.api import PbrtAPI as API
+    from pbrt_tpu.render import Renderer
+    from pbrt_tpu.testscenes import _torus_mesh_params
+
+    if only in (None, "torus1m"):
+        _r3_torus1m()
+    if only in (None, "motion"):
+        _r3_motion()
+    if only in (None, "caustic"):
+        _r3_caustic()
+
+
+def _r3_torus1m():
     from pbrt_tpu.core.api import PbrtAPI as API
     from pbrt_tpu.render import Renderer
     from pbrt_tpu.testscenes import _torus_mesh_params
@@ -181,6 +194,8 @@ def round3_gallery():
                 r.film.full_resolution)
     print(f"torus1m ({n_tris} tris): {time.time()-t0:.1f}s")
 
+
+def _r3_motion():
     # motion blur: translating sphere
     run("motion", scene_text="""
         LookAt 0 0 -5  0 0 0  0 1 0
@@ -201,6 +216,8 @@ def round3_gallery():
         WorldEnd
         """, ray_batch=1 << 17)
 
+
+def _r3_caustic():
     # MLT caustic: glass sphere over a floor, point light
     run("caustic-mlt", scene_text="""
         LookAt 0 2.2 3.2  0 0.4 0  0 1 0
@@ -224,6 +241,6 @@ def round3_gallery():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r3":
-        round3_gallery()
+        round3_gallery(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         main()

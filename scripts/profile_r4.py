@@ -98,9 +98,12 @@ def main():
     frame("A sc-off")
     os.environ["PBRT_TPU_NO_SORTED_CARRY"] = "0"
     frame("B sc-on")
-    os.environ["PBRT_TPU_SC_SORT_SHADOW"] = "1"
-    frame("C sc-on+sorted-shadows")
-    os.environ.pop("PBRT_TPU_SC_SORT_SHADOW", None)
+    # historical note: variant C originally used PBRT_TPU_SC_SORT_SHADOW=1
+    # to FORCE shadow sorting when the default was unsorted; after the C>B
+    # result, sorted shadows became the default and the env flag inverted
+    # to PBRT_TPU_SC_NOSORT_SHADOW (see integrators/path.py).  Re-running
+    # this script today measures C == B.
+    frame("C sc-on+sorted-shadows (now the default)")
     perm_probes()
 
 

@@ -12,11 +12,28 @@ bench must track the BVH path, not just the easy scene):
       streaming BVH kernel;
   config5_mray_s — raw closest-hit throughput on a 1,000,000-triangle
       torus (the >VMEM regime: clusters stream HBM->VMEM via the Pallas
-      pipeline), coherent single-origin rays.
+      pipeline), coherent single-origin rays;
+  config5_frame_mray_s — END-TO-END 1M-triangle frame through the full
+      Renderer (VERDICT r4 item 4);
+  config5_sharded_mray_s — the same intersector through the tp-sharded
+      shard_map path.  Raw and sharded get the SAME sort treatment: both
+      time pre-sorted rays (production wavefronts arrive pre-sorted
+      under the sorted-carry integrator), so the pair is apples-to-apples
+      (VERDICT r4 item 4).
 
-"Rays" counts every ray cast into the intersector (camera + bounce +
-shadow): per pixel-sample the wavefront issues ``maxdepth`` closest-hit
-queries and ``maxdepth-1`` any-hit shadow queries.
+Ray accounting (VERDICT r4 item 9): the Mray/s numerators for the render
+configs come from the live ``render/{closest,shadow}_queries`` stats
+counters — the integrator's structural per-sample counts (path:
+``maxdepth`` closest sweeps + ``maxdepth-1`` NEE occlusion sweeps; the
+final vertex collects emission only, casting no shadow ray) times the
+camera samples actually rendered.  For maxdepth D this equals
+``n_pix * spp * (2D - 1)`` — the formula r2-r4 used, now counter-derived.
+
+``canary``: a 30-second animated dense-frame probe that distinguishes
+"tunnel/backend broke animated dense dispatches again" (the r4
+infrastructure fault, RESULTS.md) from a renderer regression, plus an
+on-device check that a miss lane survives the f32<->i32 bitcast unsort
+round-trip as -1 (ADVICE r4).
 
 ``vs_baseline``: the reference (wathiede/pbrt) publishes no performance
 numbers and cannot render at all (BASELINE.md), so the ratio is reported
@@ -41,58 +58,114 @@ def _spread(dts):
             "max": round(s[-1], 4)}
 
 
-def bench_cornell():
+def _timed_renders(r, spp, reps):
+    """Time `reps` fresh frames; return (median dt, dts, state, queries
+    per frame from the exact stats counters)."""
     import jax
 
-    from pbrt_tpu.testscenes import cornell_renderer
+    from pbrt_tpu.utils import stats
 
-    xres = yres = 256
-    spp = 32
-    maxdepth = 5
-    reps = 5
-    # one dispatch per 256k lanes: dispatch latency through the accelerator
-    # tunnel dominates small launches, so measure sustained (production)
-    # throughput: a real spp count and a full frame per timed rep
-    r = cornell_renderer(
-        xres=xres, yres=yres, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
-    )
     state = r.render(spp=spp, progress=False)  # warmup/compile
+    before = stats.snapshot()["counters"]
     dts = []
     for _ in range(reps):
         t0 = time.time()
         state = r.render(spp=spp, state=r.film.initial_state(), progress=False)
         jax.block_until_ready(state["weight"])
         dts.append(time.time() - t0)
-    dt = sorted(dts)[len(dts) // 2]
-    n_pix = r.film.get_sample_bounds().area()
-    rays = n_pix * spp * (2 * maxdepth - 1)
+    after = stats.snapshot()["counters"]
+    queries = (
+        after.get("render/closest_queries", 0)
+        - before.get("render/closest_queries", 0)
+        + after.get("render/shadow_queries", 0)
+        - before.get("render/shadow_queries", 0)
+    ) / reps
+    return sorted(dts)[len(dts) // 2], dts, state, queries
+
+
+def bench_cornell():
+    from pbrt_tpu.testscenes import cornell_renderer
+
+    xres = yres = 256
+    spp = 32
+    maxdepth = 5
+    # one dispatch per 256k lanes: dispatch latency through the accelerator
+    # tunnel dominates small launches, so measure sustained (production)
+    # throughput: a real spp count and a full frame per timed rep
+    r = cornell_renderer(
+        xres=xres, yres=yres, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
+    )
+    dt, dts, state, rays = _timed_renders(r, spp, reps=5)
+    assert rays == r.film.get_sample_bounds().area() * spp * (2 * maxdepth - 1)
     img = np.asarray(r.film.to_rgb(state))
     ok = bool(np.isfinite(img).all() and img.max() > 0)
     return rays / dt, dt, ok, _spread(dts)
 
 
 def bench_config3():
-    import jax
-
     from pbrt_tpu.testscenes import mesh_scene_renderer
 
-    spp, maxdepth, reps = 8, 4, 5
+    spp, maxdepth = 8, 4
     r, n_tris = mesh_scene_renderer(
         xres=256, yres=256, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18
     )
-    state = r.render(progress=False)
-    dts = []
-    for _ in range(reps):
-        t0 = time.time()
-        state = r.render(state=r.film.initial_state(), progress=False)
-        jax.block_until_ready(state["weight"])
-        dts.append(time.time() - t0)
-    dt = sorted(dts)[len(dts) // 2]
-    n_pix = r.film.get_sample_bounds().area()
-    rays = n_pix * spp * (2 * maxdepth - 1)
+    dt, dts, state, rays = _timed_renders(r, spp, reps=5)
     img = np.asarray(r.film.to_rgb(state))
     ok = bool(np.isfinite(img).all() and img.max() > 0)
     return rays / dt, n_tris, ok, _spread(dts)
+
+
+def bench_config5_frame():
+    """END-TO-END BASELINE config 5: a full 1M-triangle frame through the
+    Renderer (camera sweep, sorted-carry wavefront, streaming BVH,
+    shading, film) — the frame number the intersector microbenches below
+    cannot stand in for (VERDICT r4 item 4)."""
+    from pbrt_tpu.testscenes import mesh_scene_renderer
+
+    spp, maxdepth = 4, 4
+    r, n_tris = mesh_scene_renderer(
+        xres=256, yres=256, spp=spp, maxdepth=maxdepth, ray_batch=1 << 18,
+        nu=1000, nv=500,
+    )
+    dt, dts, state, rays = _timed_renders(r, spp, reps=3)
+    img = np.asarray(r.film.to_rgb(state))
+    ok = bool(np.isfinite(img).all() and img.max() > 0)
+    return rays / dt, n_tris, ok, _spread(dts)
+
+
+def _presort_coherent(o, d):
+    """The sort treatment BOTH config-5 intersector benches get, outside
+    their timing loops: production wavefronts arrive pre-sorted (the
+    sorted-carry integrator), so the microbenches time the kernel, not
+    the permutation — and raw-vs-sharded stays apples-to-apples
+    (VERDICT r4 item 3/4).  Octant + direction-Morton (origins are
+    coincident; accel/bvh.py _sort_keys)."""
+    def part1by2(v):
+        v = v.astype(np.uint32) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    octant = (d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)
+    ad = np.abs(d)
+    qd = np.clip(ad / np.maximum(ad.max(axis=1, keepdims=True), 1e-12),
+                 0, 0.999999)
+    qdi = (qd * 16).astype(np.uint32)
+    dir_m = (part1by2(qdi[:, 0]) | (part1by2(qdi[:, 1]) << 1)
+             | (part1by2(qdi[:, 2]) << 2)) & 0xFFF
+    order = np.argsort(octant.astype(np.uint32) * 4096 + dir_m)
+    return o[order], d[order]
+
+
+def _config5_rays(n):
+    rng = np.random.default_rng(0)
+    o = np.tile(np.asarray([3.0, 2.4, 2.2], np.float32), (n, 1))
+    tgt = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return _presort_coherent(o, d)
 
 
 def bench_config5():
@@ -105,14 +178,12 @@ def bench_config5():
     td = torus_triangle_data(1000, 500)
     bvh = BVHIntersector(td, None, use_pallas=None)
     n = 1 << 18
-    rng = np.random.default_rng(0)
-    o = np.tile(np.asarray([3.0, 2.4, 2.2], np.float32), (n, 1))
-    tgt = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
-    d = tgt - o
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = _config5_rays(n)
     o, d = jnp.asarray(o), jnp.asarray(d)
     tm = jnp.full((n,), 1e8, jnp.float32)
-    fn = jax.jit(lambda o, d, tm: bvh.intersect(o, d, tm))
+    # rays pre-sorted above -> sort=False, same treatment as the sharded
+    # bench (which also feeds pre-sorted rays to the bare kernel)
+    fn = jax.jit(lambda o, d, tm: bvh.intersect(o, d, tm, sort=False))
     out = fn(o, d, tm)
     jax.block_until_ready(out["t"])
     reps = 5
@@ -123,7 +194,19 @@ def bench_config5():
         jax.block_until_ready(out["t"])
         dts.append(time.time() - t0)
     dt = sorted(dts)[len(dts) // 2]
-    return n / dt, td.count, _spread(dts)
+
+    # ADVICE r4: on-device miss-lane round-trip through the sorted path's
+    # packed f32<->i32 bitcast unsort (miss = -1 = NaN payload bits) —
+    # CPU tests cannot catch a TPU-only lowering difference
+    o_away = np.tile(np.asarray([30.0, 24.0, 22.0], np.float32), (1024, 1))
+    d_away = o_away / np.linalg.norm(o_away, axis=-1, keepdims=True)
+    miss = bvh.intersect(
+        jnp.asarray(o_away), jnp.asarray(d_away),
+        jnp.full((1024,), 1e8, jnp.float32), sort=True,
+    )
+    miss_ok = bool((~np.asarray(miss["hit"])).all())
+
+    return n / dt, td.count, _spread(dts), miss_ok
 
 
 def bench_config5_sharded():
@@ -159,32 +242,8 @@ def bench_config5_sharded():
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
 
     n = 1 << 18
-    rng = np.random.default_rng(0)
-    o = np.tile(np.asarray([3.0, 2.4, 2.2], np.float32), (n, 1))
-    tgt = rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32)
-    d = tgt - o
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    # production wavefronts arrive pre-sorted (sorted-carry integrator);
-    # order the bench rays the same way, once, outside the timing loop —
-    # octant + direction-Morton (origin is coincident, so direction bits
-    # are the ones that matter; accel/bvh.py _sort_keys)
-    def part1by2(v):
-        v = v.astype(np.uint32) & 0x3FF
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    octant = (d[:, 0] < 0) * 4 + (d[:, 1] < 0) * 2 + (d[:, 2] < 0)
-    ad = np.abs(d)
-    qd = np.clip(ad / np.maximum(ad.max(axis=1, keepdims=True), 1e-12),
-                 0, 0.999999)
-    qdi = (qd * 16).astype(np.uint32)
-    dir_m = (part1by2(qdi[:, 0]) | (part1by2(qdi[:, 1]) << 1)
-             | (part1by2(qdi[:, 2]) << 2)) & 0xFFF
-    order = np.argsort(octant.astype(np.uint32) * 4096 + dir_m)
-    o, d = jnp.asarray(o[order]), jnp.asarray(d[order])
+    o, d = _config5_rays(n)  # same pre-sort as bench_config5
+    o, d = jnp.asarray(o), jnp.asarray(d)
     tm = jnp.full((n,), 1e8, jnp.float32)
 
     spec = _shard_specs("tp", True, P, pallas=True)
@@ -208,6 +267,67 @@ def bench_config5_sharded():
     return n / dt, td.count, _spread(dts)
 
 
+def bench_canary():
+    """Animated dense-frame backend probe (VERDICT r4 item 8).
+
+    The r4 tunnel regression made multi-chunk dense dispatches of
+    ANIMATED scenes fault UNAVAILABLE while everything else kept working
+    (RESULTS.md "Infrastructure note").  This probe renders a tiny
+    animated scene through the dense multi-chunk path and classifies:
+      "ok"                        — dense animated frames work;
+      "tunnel_fault_dense_anim"   — dense faults but the host-chunked
+                                    fallback works: backend problem, use
+                                    --checkpoint-style chunking today;
+      "renderer_regression"       — both paths fail: our bug.
+    """
+    scene = """
+        LookAt 0 0 -5  0 0 0  0 1 0
+        Camera "perspective" "float fov" 50
+        Sampler "halton" "integer pixelsamples" 8
+        Integrator "path" "integer maxdepth" 2
+        Film "image" "integer xresolution" [128] "integer yresolution" [128]
+        WorldBegin
+        LightSource "infinite" "rgb L" [0.9 0.95 1.0]
+        Material "matte" "rgb Kd" [0.4 0.4 0.45]
+        ActiveTransform EndTime
+        Translate 1.2 0.4 0
+        ActiveTransform All
+        Shape "sphere" "float radius" 0.6
+        WorldEnd
+        """
+
+    def attempt(chunked):
+        from pbrt_tpu import Options
+        from pbrt_tpu.core.api import PbrtAPI
+        from pbrt_tpu.render import Renderer
+
+        opt = Options(ray_batch=1 << 14)  # 128x128x8spp = 8 dense chunks
+        api = PbrtAPI(opt, render_on_world_end=False)
+        api.init()
+        api.parse_string(scene)
+        r = Renderer(api.scene, api.opt)
+        if chunked:
+            import tempfile
+
+            opt.checkpoint_dir = tempfile.mkdtemp(prefix="pbrt_canary_")
+        state = r.render(progress=False)
+        img = np.asarray(r.film.to_rgb(state))
+        return bool(np.isfinite(img).all() and img.max() > 0)
+
+    try:
+        if attempt(chunked=False):
+            return "ok"
+        dense_err = "black_image"
+    except Exception as e:  # noqa: BLE001 - the classification IS the point
+        dense_err = f"{type(e).__name__}"
+    try:
+        if attempt(chunked=True):
+            return f"tunnel_fault_dense_anim({dense_err})"
+    except Exception:  # noqa: BLE001
+        pass
+    return f"renderer_regression({dense_err})"
+
+
 def main():
     import jax
 
@@ -227,6 +347,11 @@ def main():
     # the enriched line printed at the end supersedes it when we get there
     print(json.dumps(result), flush=True)
     try:
+        result["canary"] = bench_canary()
+    except Exception as e:  # noqa: BLE001
+        result["canary"] = f"canary_error({type(e).__name__})"
+    print(json.dumps(result), flush=True)
+    try:
         c3, n_tris3, ok3, spread3 = bench_config3()
         result["config3_mray_s"] = round(c3 / 1e6, 2)
         result["config3_tris"] = int(n_tris3)
@@ -236,10 +361,11 @@ def main():
         result["config3_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result), flush=True)
     try:
-        c5, n_tris5, spread5 = bench_config5()
+        c5, n_tris5, spread5, miss_ok = bench_config5()
         result["config5_mray_s"] = round(c5 / 1e6, 2)
         result["config5_tris"] = int(n_tris5)
         result["config5_seconds_spread"] = spread5
+        result["miss_roundtrip_ok"] = miss_ok
     except Exception as e:  # noqa: BLE001
         result["config5_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result), flush=True)
@@ -249,6 +375,14 @@ def main():
         result["config5_sharded_seconds_spread"] = spread5s
     except Exception as e:  # noqa: BLE001
         result["config5_sharded_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result), flush=True)
+    try:
+        c5f, _, ok5f, spread5f = bench_config5_frame()
+        result["config5_frame_mray_s"] = round(c5f / 1e6, 2)
+        result["config5_frame_seconds_spread"] = spread5f
+        result["image_ok"] = bool(result["image_ok"] and ok5f)
+    except Exception as e:  # noqa: BLE001
+        result["config5_frame_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return 0 if result["image_ok"] else 1
 

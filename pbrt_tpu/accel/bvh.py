@@ -192,11 +192,21 @@ class BVHIntersector:
             if use_pallas is None:
                 use_pallas = jax.default_backend() not in ("cpu",)
             use_stream = use_pallas and self.n_tri >= STREAM_MIN_TRIS
+            # BVH8 wide-node walk (ops/bvh8.py): 8 child slabs per
+            # iteration -> ~3x fewer iterations at ~4x vector work, so the
+            # ~440 ns/iter control floor amortizes (r4 roofline).  Default
+            # ON; PBRT_TPU_WIDE=0 falls back to the binary ordered walk
+            # (equality test: tests/test_bvh8.py)
+            import os
+
+            wide = use_pallas and (
+                os.environ.get("PBRT_TPU_WIDE", "1") not in ("", "0")
+            )
             if use_pallas:
                 # packed Pallas kernels test whole leaf rows as dense vector
                 # ops; the streaming kernel packs 16-tri leaves (2 rows) —
                 # fatter leaves halve the scalar-bound interior walk
-                leaf_size = 16 if use_stream else 8
+                leaf_size = 16 if (use_stream or wide) else 8
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )
@@ -227,6 +237,15 @@ class BVHIntersector:
                     from pbrt_tpu.ops.stream_bvh import StreamBVH
 
                     self._pallas = StreamBVH(
+                        mins, maxs, skips, firsts, counts,
+                        tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
+                        interpret=pallas_interpret, leaf_slots=leaf_size,
+                        wide=wide,
+                    )
+                elif wide:
+                    from pbrt_tpu.ops.bvh8 import PallasBVH8
+
+                    self._pallas = PallasBVH8(
                         mins, maxs, skips, firsts, counts,
                         tri_data.p0[perm], tri_data.p1[perm], tri_data.p2[perm],
                         interpret=pallas_interpret, leaf_slots=leaf_size,

@@ -37,7 +37,12 @@ class DirectLightingIntegrator(PathIntegrator):
     def __init__(self, compiled, max_depth=5):
         # max_depth bounds the specular chain; +1 head-room so the final
         # non-specular vertex still gets its emission-only MIS segment
-        super().__init__(compiled, max_depth=max(2, max_depth), rr_threshold=1.0)
+        # (pbrt's EstimateDirect evaluates BOTH MIS halves at every
+        # vertex regardless of depth — without the +1 the last vertex
+        # contributed only the NEE half, slightly dark at the cap)
+        super().__init__(
+            compiled, max_depth=max(2, max_depth + 1), rr_threshold=1.0
+        )
 
 
 class WhittedIntegrator(PathIntegrator):

@@ -73,6 +73,17 @@ class PathIntegrator:
             compiled.tables.get("_flags", {}).get("animated_keys", 0)
         )
 
+    def queries_per_sample(self):
+        """Exact intersector-query counts issued per pixel-sample lane:
+        (closest, shadow).  The bounce loop is unrolled max_depth times;
+        every bounce issues one closest sweep, and every bounce EXCEPT
+        the last issues one NEE ``occluded`` sweep (the final vertex
+        collects emission only — the loop returns after Le, before NEE;
+        pbrt-v3's terminal vertex likewise gets Le only).  Feeds the
+        ``render/{closest,shadow}_queries`` counters the bench uses as
+        its Mray/s numerator (VERDICT r4 item 9)."""
+        return self.max_depth, self.max_depth - 1
+
     def _bsdf_sample(self, params, wo_l, u_lobe, u_b):
         """Hook for derived integrators (Whitted suppresses non-specular
         continuations here) — replaces the former module-global
@@ -410,6 +421,12 @@ class PathIntegrator:
                 # pbrt DirectLightingIntegrator: non-specular continuations
                 # exist only to pick up the BSDF-sampled direct-light term
                 gather_only = ok & ~spec
+                if bounce == self.max_depth - 2:
+                    # deepest pbrt vertex (the ctor passes maxDepth+1 so
+                    # this vertex still gets its emission-only MIS half):
+                    # its gather-only ray traces, but specular recursion
+                    # stops — pbrt only recurses while depth+1 < maxDepth
+                    ok = ok & ~spec
             beta = jnp.where(
                 ok[..., None],
                 beta * f * (jnp.abs(wi_l[..., 2]) / jnp.maximum(pdf, 1e-12))[..., None],

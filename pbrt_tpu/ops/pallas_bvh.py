@@ -36,6 +36,9 @@ from pbrt_tpu.ops.intersect import RAY_EPS
 BLOCK_SUB = 8  # sublanes
 BLOCK_LANE = 128  # lanes
 BLOCK = BLOCK_SUB * BLOCK_LANE
+# the single-reduction child tests pack left-hit counts in the low 11
+# bits (multiplier 2048) — a block past 2047 lanes would alias the fields
+assert BLOCK < 2048, "packed any_l/any_r reduction requires BLOCK < 2048"
 LEAF_SIZE = 4
 
 

@@ -95,21 +95,16 @@ def split_clusters(skips, firsts, counts, n_prims, target):
     return out
 
 
-def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
-    """Pack one skip-link (sub)tree into the kernel layout (vectorized).
+def pack_leaf_rows(firsts, counts, p0, p1, p2, leaf_slots=8):
+    """Pack a skip-link tree's leaves into 128-lane triangle rows.
 
-    Returns (nodes_f [ni,16] f32, tris [n_rows,128] f32, root i32,
-    slot_to_prim [n_leaves*leaf_slots] i64 — local prim index per packed
-    slot, 0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs
-    are negative ``-(first*2^6 + count + 1)`` with ``first``
-    leaf_slots-aligned (8 triangles per 128-lane row; leaf_slots=16 packs
-    a leaf across 2 consecutive rows — fewer, fatter leaves halve the
-    interior-node walk), node rows hold both children's boxes + refs +
-    per-octant near-first bits.
+    Returns (tris [n_rows,128] f32, slot_to_prim [n_leaves*leaf_slots]
+    i64 — local prim index per packed slot, 0 for empty slots,
+    padded_firsts [M] — per-node leaf_slots-aligned packed first slot).
+    Shared by the binary packer below and the BVH8 packer (ops/bvh8.py).
     """
     counts = np.asarray(counts)
     firsts = np.asarray(firsts)
-    skips = np.asarray(skips)
     assert leaf_slots % _LEAF_SLOTS == 0
     assert counts.max(initial=0) <= leaf_slots <= (1 << _LEAF_COUNT_BITS) - 1
     leaf_nodes = np.nonzero(counts > 0)[0]
@@ -134,6 +129,27 @@ def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
             tris[rv, cv + 0 + c] = p0[pv, c]
             tris[rv, cv + 3 + c] = p1[pv, c]
             tris[rv, cv + 6 + c] = p2[pv, c]
+    return tris, slot_to_prim, padded_firsts
+
+
+def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
+    """Pack one skip-link (sub)tree into the kernel layout (vectorized).
+
+    Returns (nodes_f [ni,16] f32, tris [n_rows,128] f32, root i32,
+    slot_to_prim [n_leaves*leaf_slots] i64 — local prim index per packed
+    slot, 0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs
+    are negative ``-(first*2^6 + count + 1)`` with ``first``
+    leaf_slots-aligned (8 triangles per 128-lane row; leaf_slots=16 packs
+    a leaf across 2 consecutive rows — fewer, fatter leaves halve the
+    interior-node walk), node rows hold both children's boxes + refs +
+    per-octant near-first bits.
+    """
+    counts = np.asarray(counts)
+    firsts = np.asarray(firsts)
+    skips = np.asarray(skips)
+    tris, slot_to_prim, padded_firsts = pack_leaf_rows(
+        firsts, counts, p0, p1, p2, leaf_slots
+    )
 
     if counts[0] > 0:  # whole (sub)tree is a single leaf
         root = np.int32(
@@ -456,7 +472,7 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
                    t_out, prim_out,
                    stack_ref,
                    *, any_hit: bool, slots_per_cluster: int, leaf_slots: int,
-                   fused: bool = False):
+                   fused: bool = False, wide: bool = False):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -483,34 +499,46 @@ def _stream_kernel(cl_ref, cn_ref, rt_ref,
         dy = dy_ref[...]
         dz = dz_ref[...]
         invs = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
-        # rays are pre-sorted by direction octant, so one representative
-        # octant picks the near child for the whole packet
-        octant = (
-            (dx[0, 0] < 0).astype(jnp.int32) * 4
-            + (dy[0, 0] < 0).astype(jnp.int32) * 2
-            + (dz[0, 0] < 0).astype(jnp.int32)
-        )
         best = (t_out[...], prim_out[...])
-        walk = _walk_tree_fused if fused else _walk_tree
-        best = walk(
-            lambda i: nodes_ref[0, i],
-            lambda r: tris_ref[0, r],
-            root, (ox, oy, oz, dx, dy, dz), invs, octant, best,
-            stack_ref, any_hit, prim_base, leaf_slots,
-        )
+        # rays are pre-sorted by direction octant, so one representative
+        # lane's sign bits pick the near child for the whole packet
+        sx = (dx[0, 0] < 0).astype(jnp.int32)
+        sy = (dy[0, 0] < 0).astype(jnp.int32)
+        sz = (dz[0, 0] < 0).astype(jnp.int32)
+        if wide:
+            from pbrt_tpu.ops.bvh8 import _walk8
+
+            best = _walk8(
+                lambda i: nodes_ref[0, i],
+                lambda r: tris_ref[0, r],
+                root, (ox, oy, oz, dx, dy, dz), invs, (sx, sy, sz), best,
+                stack_ref, any_hit, prim_base, leaf_slots,
+            )
+        else:
+            octant = sx * 4 + sy * 2 + sz
+            walk = _walk_tree_fused if fused else _walk_tree
+            best = walk(
+                lambda i: nodes_ref[0, i],
+                lambda r: tris_ref[0, r],
+                root, (ox, oy, oz, dx, dy, dz), invs, octant, best,
+                stack_ref, any_hit, prim_base, leaf_slots,
+            )
         t_out[...], prim_out[...] = best
 
 
 def pack_stream_tables(mins, maxs, skips, firsts, counts,
                        tri_p0, tri_p1, tri_p2,
-                       target_tris: int | None = None, leaf_slots: int = 8):
+                       target_tris: int | None = None, leaf_slots: int = 8,
+                       wide: bool = False):
     """Host-side cluster cut + packing for the streaming kernel.
 
-    Returns numpy arrays {nodes [C,NP,16], tris [C,LP,128], roots [C],
-    cl_min/cl_max [C,3], slot_to_prim [C*slots] (DFS prim index per packed
-    slot), slots_per_cluster} — consumed by :class:`StreamBVH` and, per
-    shard, by the tp-sharded path (parallel/geomshard.py), which stacks
-    them with a leading shard dim and shards over the mesh.
+    Returns numpy arrays {nodes [C,NP,16] (binary) or [C,NP,64] (wide
+    BVH8 — ops/bvh8.py layout; the kernel infers the walk from the last
+    dim), tris [C,LP,128], roots [C], cl_min/cl_max [C,3], slot_to_prim
+    [C*slots] (DFS prim index per packed slot), slots_per_cluster} —
+    consumed by :class:`StreamBVH` and, per shard, by the tp-sharded
+    path (parallel/geomshard.py), which stacks them with a leading shard
+    dim and shards over the mesh.
     """
     n_prims = len(tri_p0)
     if target_tris is None:
@@ -523,11 +551,15 @@ def pack_stream_tables(mins, maxs, skips, firsts, counts,
     firsts = np.asarray(firsts)
     counts = np.asarray(counts)
 
+    if wide:
+        from pbrt_tpu.ops.bvh8 import pack_tree8 as _packer
+    else:
+        _packer = _pack_tree
     packs = []
     for (i, lo, hi) in clusters:
         sl = slice(i, int(skips[i]))
         packs.append(
-            _pack_tree(
+            _packer(
                 mins[sl], maxs[sl], skips[sl] - i, firsts[sl] - lo,
                 counts[sl], tri_p0[lo:hi], tri_p1[lo:hi], tri_p2[lo:hi],
                 leaf_slots=leaf_slots,
@@ -537,7 +569,8 @@ def pack_stream_tables(mins, maxs, skips, firsts, counts,
     c = len(packs)
     nodes_pad = max(8, -(-max(p[0].shape[0] for p in packs) // 8) * 8)
     leaves_pad = max(8, -(-max(p[1].shape[0] for p in packs) // 8) * 8)
-    all_nodes = np.zeros((c, nodes_pad, 16), dtype=np.float32)
+    node_cols = packs[0][0].shape[1]  # 16 binary / 64 wide
+    all_nodes = np.zeros((c, nodes_pad, node_cols), dtype=np.float32)
     all_tris = np.zeros((c, leaves_pad, 128), dtype=np.float32)
     roots = np.zeros((c,), dtype=np.int32)
     slots_per_cluster = leaves_pad * _LEAF_SLOTS  # leaves_pad = 128-lane ROWS
@@ -589,8 +622,10 @@ def _stream_candidates(cl_min, cl_max, n_clusters, comps):
     """Phase A: per-1024-ray-block candidate clusters (see StreamBVH).
 
     Standalone so the tp-sharded path can run it on per-shard tables
-    inside ``shard_map``.  Padded clusters (cl_min=+inf / cl_max=-inf)
-    can never slab-hit and are excluded automatically.
+    inside ``shard_map``.  Padded clusters must use cl_min = cl_max =
+    +inf (t_near = +inf fails ``tn < t_max``, so they are excluded on
+    every block); INVERTED bounds (+inf/-inf) would make every ray
+    slab-hit them (tn = -inf, tf = +inf) — see geomshard.py.
     """
     ox, oy, oz, dx, dy, dz, t_max = comps
     n = ox.shape[0]
@@ -640,12 +675,16 @@ def stream_traverse(nodes, tris, roots, cl_min, cl_max, o, d, t_max,
     arrays — the entry point for per-shard traversal inside ``shard_map``
     (parallel/geomshard.py tp path).
 
-    nodes [C, NP, 16], tris [C, LP, 128], roots [C], cl_min/cl_max [C, 3];
-    o, d [N, 3]; t_max [N].  Returns (t [N], packed slot id [N] with -1
-    for miss); callers resolve slots through their own slot_to_prim map.
+    nodes [C, NP, 16] (binary) or [C, NP, 64] (wide BVH8 — the walk is
+    inferred from the last dim), tris [C, LP, 128], roots [C],
+    cl_min/cl_max [C, 3]; o, d [N, 3]; t_max [N].  Returns (t [N],
+    packed slot id [N] with -1 for miss); callers resolve slots through
+    their own slot_to_prim map.
     """
     n = (o[0] if isinstance(o, (tuple, list)) else o).shape[0]
     n_clusters, nodes_pad = nodes.shape[0], nodes.shape[1]
+    node_cols = nodes.shape[2]
+    wide = node_cols != 16
     leaves_pad = tris.shape[1]
     slots_per_cluster = leaves_pad * _LEAF_SLOTS
     comps = split_pad_rays(o, d, t_max, n)
@@ -668,7 +707,7 @@ def stream_traverse(nodes, tris, roots, cl_min, cl_max, o, d, t_max,
         grid=(g, n_clusters),
         in_specs=[
             pl.BlockSpec(
-                (1, nodes_pad, 16),
+                (1, nodes_pad, node_cols),
                 lambda b, k, cl, cn, rt: (cl[b, k], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -686,7 +725,9 @@ def stream_traverse(nodes, tris, roots, cl_min, cl_max, o, d, t_max,
             )
             for _ in range(2)
         ),
-        scratch_shapes=[pltpu.SMEM((_STACK_DEPTH,), jnp.int32)],
+        # wide walks need one extra slot: the branchless non-hit stores
+        # land in a trash slot above the stack (ops/bvh8.py)
+        scratch_shapes=[pltpu.SMEM((_STACK_DEPTH + 1,), jnp.int32)],
     )
     if fused is None:
         import os
@@ -698,6 +739,7 @@ def stream_traverse(nodes, tris, roots, cl_min, cl_max, o, d, t_max,
         slots_per_cluster=slots_per_cluster,
         leaf_slots=leaf_slots,
         fused=fused,
+        wide=wide,
     )
     t_r, prim_r = pl.pallas_call(
         kernel,
@@ -729,11 +771,12 @@ class StreamBVH:
     def __init__(self, mins, maxs, skips, firsts, counts,
                  tri_p0, tri_p1, tri_p2,
                  target_tris: int | None = None, interpret: bool = False,
-                 leaf_slots: int = 8):
+                 leaf_slots: int = 8, wide: bool = False):
         self.leaf_slots = int(leaf_slots)
         t = pack_stream_tables(
             mins, maxs, skips, firsts, counts, tri_p0, tri_p1, tri_p2,
             target_tris=target_tris, leaf_slots=self.leaf_slots,
+            wide=wide,
         )
         self.slots_per_cluster = t["slots_per_cluster"]
         self.n_clusters = t["nodes"].shape[0]

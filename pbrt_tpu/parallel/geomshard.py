@@ -30,6 +30,8 @@ so results are invariant to the shard count.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -165,19 +167,34 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
                 out["p1"][s][:v].astype(np.float32),
                 out["p2"][s][:v].astype(np.float32),
                 leaf_slots=leaf,
+                # BVH8 wide tables by default (stream_traverse infers the
+                # walk from the node-row width); PBRT_TPU_WIDE=0 falls
+                # back to the binary walk
+                wide=os.environ.get("PBRT_TPU_WIDE", "1") not in ("", "0"),
             )
         )
     c_pad = max(1, max((p["nodes"].shape[0] for p in packs if p), default=1))
     np_pad = max(8, max((p["nodes"].shape[1] for p in packs if p), default=8))
     lp_pad = max(8, max((p["tris"].shape[1] for p in packs if p), default=8))
     spc = lp_pad * 8  # slots per cluster at the padded row count
-    pk_nodes = np.zeros((n_shards, c_pad, np_pad, 16), np.float32)
+    node_cols = next(
+        (p["nodes"].shape[2] for p in packs if p), 16
+    )  # 16 binary / 64 wide (BVH8)
+    pk_nodes = np.zeros((n_shards, c_pad, np_pad, node_cols), np.float32)
     pk_tris = np.zeros((n_shards, c_pad, lp_pad, 128), np.float32)
-    pk_roots = np.zeros((n_shards, c_pad), np.int32)
-    # padded clusters get inverted bounds: they can never slab-hit, so the
-    # candidate phase skips them on every block
+    # padded roots are empty-leaf codes (-(0*64 + 0 + 1) = -1, count 0):
+    # even if a padded cluster were ever selected, its walk is a no-op
+    # single leaf test instead of a traversal of zero-filled node rows
+    pk_roots = np.full((n_shards, c_pad), -1, np.int32)
+    # padded clusters get cl_min = cl_max = +inf: every slab quotient on
+    # an axis with positive inv-direction is +inf, so t_near = +inf fails
+    # t_near < t_max and the candidate phase skips them on every block.
+    # (Inverted bounds -inf/+inf would do the OPPOSITE: the min/max slab
+    # test yields t_near = -inf / t_far = +inf, i.e. every ray "hits" —
+    # the r4 bug flagged by ADVICE.md which could walk a zero-filled
+    # padded cluster forever.)
     pk_clmin = np.full((n_shards, c_pad, 3), np.inf, np.float32)
-    pk_clmax = np.full((n_shards, c_pad, 3), -np.inf, np.float32)
+    pk_clmax = np.full((n_shards, c_pad, 3), np.inf, np.float32)
     pk_s2p = np.zeros((n_shards, c_pad, spc), np.int32)
     for s, p in enumerate(packs):
         if p is None:
@@ -207,6 +224,13 @@ def shard_triangle_arrays(tri_data, tri_mat, tri_light, n_shards: int,
     # independent of width (RESULTS r4), so the hit-attribute lookup is
     # ONE [N,27] row gather instead of ~12 separate array gathers.
     # Layout: p0 p1 p2 | n0 n1 n2 | uv0 uv1 uv2 | mat light gid
+    # gid/mat/light ride as f32: integers are exact only below 2^24, so
+    # guard the scene scale where the packing would silently corrupt ids
+    # (the 2^30 PAD gid is exactly representable and stays allowed)
+    assert t < (1 << 24), (
+        "attr_rows packs gids as f32; scenes over 2^24 prims need an "
+        "int32 side column"
+    )
     out["attr_rows"] = np.concatenate([
         out["p0"], out["p1"], out["p2"],
         out["n0"], out["n1"], out["n2"],

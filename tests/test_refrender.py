@@ -150,3 +150,156 @@ def test_mirror_scene_matches_scalar_reference():
     ref = render_reference(_mirror_ref(), c2w, 60.0, XRES, YRES, SPP,
                            DEPTH, table)
     _compare(dev, ref)
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT r4 item 5): the acceptance-scene class — checkerboard texture,
+# distant (blackbody) light, mirror over textured matte — and the smooth
+# dielectric path, neither of which the r4 independent check could see.
+# Larger frames with the tightened outlier bound (<= 1%).
+# ---------------------------------------------------------------------------
+
+
+def _compare_tight(dev, ref):
+    diff = np.abs(dev - ref)
+    frac_bad = float((diff.max(axis=-1) > 0.02).mean())
+    assert frac_bad < 0.01, f"{frac_bad:.4f} of pixels differ by >0.02"
+    assert abs(float(dev.mean() - ref.mean())) < 5e-3
+    assert np.isfinite(ref).all() and ref.max() > 0.01
+
+
+CHECK_XRES = CHECK_YRES = 64
+CHECK_SPP = 2
+CHECK_DEPTH = 5  # the scene's Integrator "path" default
+
+CHECK_SPHERE_TEXT = f"""
+LookAt 3 4 1.5  .5 .5 0  0 0 1
+Camera "perspective" "float fov" 45
+Sampler "halton" "integer pixelsamples" {CHECK_SPP}
+Integrator "path"
+Film "image" "integer xresolution" [{CHECK_XRES}] "integer yresolution" [{CHECK_YRES}]
+WorldBegin
+LightSource "infinite" "rgb L" [.4 .45 .5]
+LightSource "distant"  "point from" [ -30 40  100 ]
+   "blackbody L" [3000 1.5]
+AttributeBegin
+  Material "mirror"
+  Shape "sphere" "float radius" 1
+AttributeEnd
+AttributeBegin
+  Texture "checks" "spectrum" "checkerboard"
+          "float uscale" [8] "float vscale" [8]
+          "rgb tex1" [.1 .1 .1] "rgb tex2" [.8 .8 .8]
+  Material "matte" "texture Kd" "checks"
+  Translate 0 0 -1
+  Shape "trianglemesh"
+      "integer indices" [0 1 2 0 2 3]
+      "point P" [ -20 -20 0   20 -20 0   20 20 0   -20 20 0 ]
+      "float st" [ 0 0   1 0    1 1   0 1 ]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_blackbody_conversion_independent():
+    """The scalar renderer's Planck + CIE-fit blackbody agrees with the
+    device's binned-CIE conversion — different tables, same physics."""
+    from pbrt_tpu.core import spectrum as S
+    from pbrt_tpu.refrender import blackbody_rgb
+
+    for temp in (3000.0, 6500.0):
+        ref = blackbody_rgb(temp, 1.5)
+        dev = np.asarray(S.blackbody_to_rgb(temp, 1.5))
+        # luminance-relative agreement; the fit vs the 60-bin tables
+        # differ by a few percent per channel
+        assert np.abs(dev - ref).max() / max(dev.max(), 1e-6) < 0.08, (
+            temp, dev, ref
+        )
+
+
+def test_check_sphere_matches_scalar_reference():
+    """BASELINE config 1, literally: the reference's acceptance scene
+    (scenes/check-sphere.pbrt) at 64x64 with matched sample streams."""
+    from pbrt_tpu.core import spectrum as S
+
+    dev, r = device_render(CHECK_SPHERE_TEXT, CHECK_XRES, CHECK_YRES, CHECK_SPP)
+    table = sample_table(r, CHECK_XRES, CHECK_YRES, CHECK_SPP,
+                         5 + 7 * CHECK_DEPTH)
+    c2w = look_at([3, 4, 1.5], [0.5, 0.5, 0], [0, 0, 1])
+    # the blackbody RGB enters the ref scene as the device-computed
+    # constant: test_blackbody_conversion_independent pins the conversion
+    # itself against the independent Planck+CIE-fit implementation, so
+    # stream parity here isolates transport/texture/light-sampling
+    sun = np.asarray(S.blackbody_to_rgb(3000.0, 1.5), np.float64)
+    uv = [np.array([0.0, 0.0]), np.array([1.0, 0.0]),
+          np.array([1.0, 1.0]), np.array([0.0, 1.0])]
+    pq = [np.array([-20.0, -20.0, -1.0]), np.array([20.0, -20.0, -1.0]),
+          np.array([20.0, 20.0, -1.0]), np.array([-20.0, 20.0, -1.0])]
+    tris = [
+        (pq[0], pq[1], pq[2], 1, -1, uv[0], uv[1], uv[2]),
+        (pq[0], pq[2], pq[3], 1, -1, uv[0], uv[2], uv[3]),
+    ]
+    mats = [
+        {"type": "mirror", "kr": [0.9, 0.9, 0.9]},
+        {"type": "matte",
+         "checker": {"su": 8.0, "sv": 8.0,
+                     "tex1": [0.1, 0.1, 0.1], "tex2": [0.8, 0.8, 0.8]}},
+    ]
+    lights = [
+        {"type": "infinite", "L": [0.4, 0.45, 0.5]},
+        # distant: dir = from - to with the factory default to = (0,0,1)
+        {"type": "distant", "dir": [-30.0, 40.0, 99.0], "L": sun},
+    ]
+    ref_scene = RefScene([([0, 0, 0], 1.0, 0)], tris, mats, lights)
+    ref = render_reference(ref_scene, c2w, 45.0, CHECK_XRES, CHECK_YRES,
+                           CHECK_SPP, CHECK_DEPTH, table)
+    _compare_tight(dev, ref)
+
+
+GLASS_XRES = GLASS_YRES = 32
+GLASS_SPP = 4
+GLASS_DEPTH = 5
+
+GLASS_TEXT = f"""
+LookAt 0 1.2 3.0  0 0.6 0  0 1 0
+Camera "perspective" "float fov" 55
+Sampler "halton" "integer pixelsamples" {GLASS_SPP}
+Integrator "path" "integer maxdepth" {GLASS_DEPTH}
+Film "image" "integer xresolution" [{GLASS_XRES}] "integer yresolution" [{GLASS_YRES}]
+WorldBegin
+LightSource "infinite" "rgb L" [0.3 0.35 0.4]
+LightSource "point" "rgb I" [10 10 10] "point from" [2 3 2]
+AttributeBegin
+  Material "glass"
+  Translate 0 0.8 0
+  Shape "sphere" "float radius" 0.5
+AttributeEnd
+Material "matte" "rgb Kd" [0.55 0.5 0.45]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -4 0 -4   4 0 -4   4 0 4   -4 0 4 ]
+WorldEnd
+"""
+
+
+def test_glass_scene_matches_scalar_reference():
+    """Smooth dielectric with matched streams: Fresnel reflect/refract
+    choice, TIR, radiance-transport eta^2 scaling — the code path the
+    r4 independent check could not see."""
+    dev, r = device_render(GLASS_TEXT, GLASS_XRES, GLASS_YRES, GLASS_SPP)
+    table = sample_table(r, GLASS_XRES, GLASS_YRES, GLASS_SPP,
+                         5 + 7 * GLASS_DEPTH)
+    c2w = look_at([0, 1.2, 3.0], [0, 0.6, 0], [0, 1, 0])
+    floor = _quad([[-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]])
+    tris = [(a, b, c, 1, -1) for a, b, c in floor]
+    mats = [
+        {"type": "glass", "kr": [1, 1, 1], "kt": [1, 1, 1], "eta": 1.5},
+        {"type": "matte", "kd": [0.55, 0.5, 0.45]},
+    ]
+    lights = [
+        {"type": "infinite", "L": [0.3, 0.35, 0.4]},
+        {"type": "point", "p": [2, 3, 2], "I": [10, 10, 10]},
+    ]
+    ref_scene = RefScene([([0, 0.8, 0], 0.5, 0)], tris, mats, lights)
+    ref = render_reference(ref_scene, c2w, 55.0, GLASS_XRES, GLASS_YRES,
+                           GLASS_SPP, GLASS_DEPTH, table)
+    _compare_tight(dev, ref)

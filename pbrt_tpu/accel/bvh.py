@@ -191,14 +191,19 @@ class BVHIntersector:
         if self.n_tri:
             if use_pallas is None:
                 use_pallas = jax.default_backend() not in ("cpu",)
-            use_stream = use_pallas and self.n_tri >= STREAM_MIN_TRIS
+            import os
+
+            # A/B override: PBRT_TPU_STREAM_MIN_TRIS forces the
+            # whole-tree kernel (large value) or streaming (0)
+            stream_min = int(
+                os.environ.get("PBRT_TPU_STREAM_MIN_TRIS", STREAM_MIN_TRIS)
+            )
+            use_stream = use_pallas and self.n_tri >= stream_min
             # BVH8 wide-node walk (ops/bvh8.py): 8 child slabs per
             # iteration -> ~3x fewer iterations at ~4x vector work, so the
             # ~440 ns/iter control floor amortizes (r4 roofline).  Default
             # ON; PBRT_TPU_WIDE=0 falls back to the binary ordered walk
             # (equality test: tests/test_bvh8.py)
-            import os
-
             wide = use_pallas and (
                 os.environ.get("PBRT_TPU_WIDE", "1") not in ("", "0")
             )

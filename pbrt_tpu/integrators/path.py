@@ -350,8 +350,15 @@ class PathIntegrator:
                         pixel_xy, sample_index, lane)
 
             # emission-only lanes (direct_only: the BSDF-sampled half of
-            # EstimateDirect's MIS pair) have now collected their Le — stop
-            alive = alive & ~gather_only
+            # EstimateDirect's MIS pair) have now collected their Le — stop.
+            # Gated: gather_only is identically False outside direct_only
+            # mode, and the no-op mask measurably perturbed XLA's fusion
+            # of the bounce body (cornell 224 -> 192 Mray/s, the r4
+            # regression VERDICT item 2 — root-caused r5 by HLO diff: the
+            # only non-renamed delta between the r3 and r4 programs was
+            # this mask chain)
+            if self.direct_only:
+                alive = alive & ~gather_only
 
             # --- shading frame + material params -------------------------
             ns, ss, ts = shading_frame(si, wo)

@@ -32,9 +32,10 @@ Node row layout ([64] f32 per wide node; minor dim pads to the 128-lane
 VMEM tile):
   cols 6c..6c+5   child c box: minx miny minz maxx maxy maxz
   cols 48+c       child c ref as exact f32 int (|ref| < 2^24):
-                  interior -> wide-node rank; leaf -> -(first*64+count+1)
-                  with ``first`` leaf-row aligned (ops/pallas_bvh.py
-                  encoding); EMPTY slot -> -1 (first=0, count=0)
+                  interior -> wide-node rank; leaf ->
+                  -((first/8)*64+count+1) with ``first`` leaf-row aligned
+                  (ops/pallas_bvh.py row-index encoding, exact in f32 to
+                  2M slots); EMPTY slot -> -1 (first=0, count=0)
   col 56          sort axis (0/1/2)
 Empty slots carry min = max = +inf boxes: every slab quotient on an axis
 with positive inverse direction is +inf, so t_near = +inf can never pass
@@ -101,7 +102,7 @@ def collapse8(mins, maxs, skips, firsts, counts, padded_firsts):
     area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 0] * ext[:, 2]
 
     def leaf_ref(s):
-        return -(int(padded_firsts[s]) * (1 << _LEAF_COUNT_BITS)
+        return -((int(padded_firsts[s]) >> 3) * (1 << _LEAF_COUNT_BITS)
                  + int(counts[s]) + 1)
 
     rows = []  # reserved, patched post-order
@@ -162,7 +163,7 @@ def pack_tree8(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=16):
     )
     if counts[0] > 0:  # whole (sub)tree is a single leaf
         root = np.int32(
-            -(int(padded_firsts[0]) * (1 << _LEAF_COUNT_BITS)
+            -((int(padded_firsts[0]) >> 3) * (1 << _LEAF_COUNT_BITS)
               + int(counts[0]) + 1)
         )
         return np.zeros((1, NODE_COLS), dtype=np.float32), tris, root, slot_to_prim
@@ -198,7 +199,7 @@ def _walk8(node_row, tri_row, root, rays, invs, signs, best, stack_ref,
         def leaf_branch(carry):
             best_t, best_prim = carry
             code = -ref - 1
-            first = code >> _LEAF_COUNT_BITS
+            first = (code >> _LEAF_COUNT_BITS) << 3
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
             rows = [
                 tri_row((first >> 3) + r)  # [128]: 8 slots x 16 cols

@@ -190,8 +190,9 @@ def _traverse_kernel(
 #     stored as exact f32 integers (|ref| < 2^24) at cols 12-13.
 #
 # Leaf references are encoded in the child slots as negative ints
-# (-(first*64 + count + 1)) with first 8-aligned, so leaves occupy no
-# node rows and the node table covers interior nodes only.
+# (-(row0*64 + count + 1), row0 = 8-aligned first slot / 8 — row indexing
+# keeps |ref| exact in f32 up to 2M slots), so leaves occupy no node rows
+# and the node table covers interior nodes only.
 
 _DONE = np.int32(2**30)
 _LEAF_COUNT_BITS = 6  # leaf count fits in 6 bits (leaf_size <= 63)
@@ -215,7 +216,7 @@ def _encode_children(skips, firsts, counts):
     def ref(child):
         out = np.where(
             counts[child] > 0,
-            -(firsts[child].astype(np.int64) * (1 << _LEAF_COUNT_BITS)
+            -((firsts[child].astype(np.int64) >> 3) * (1 << _LEAF_COUNT_BITS)
               + counts[child] + 1),
             rank[child],
         )
@@ -287,7 +288,7 @@ def _ordered_kernel(
         def leaf_branch(carry):
             best_t, best_prim = carry
             code = -ref - 1
-            first = code >> _LEAF_COUNT_BITS
+            first = (code >> _LEAF_COUNT_BITS) << 3
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
             row = tris_ref[first >> 3]  # [128]: 8 slots x 16 cols
             for k in range(_LEAF_SLOTS):
@@ -431,7 +432,7 @@ class PallasBVH2:
 
         if counts[0] > 0:  # whole tree is one leaf
             self.root = np.int32(
-                -(int(padded_firsts[0]) * (1 << _LEAF_COUNT_BITS)
+                -((int(padded_firsts[0]) >> 3) * (1 << _LEAF_COUNT_BITS)
                   + int(counts[0]) + 1)
             )
             nodes_f = np.zeros((1, 16), dtype=np.float32)

@@ -138,7 +138,7 @@ def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
     Returns (nodes_f [ni,16] f32, tris [n_rows,128] f32, root i32,
     slot_to_prim [n_leaves*leaf_slots] i64 — local prim index per packed
     slot, 0 for empty slots).  Same encoding as ``PallasBVH2``: leaf refs
-    are negative ``-(first*2^6 + count + 1)`` with ``first``
+    are negative ``-((first/8)*2^6 + count + 1)`` with ``first``
     leaf_slots-aligned (8 triangles per 128-lane row; leaf_slots=16 packs
     a leaf across 2 consecutive rows — fewer, fatter leaves halve the
     interior-node walk), node rows hold both children's boxes + refs +
@@ -153,7 +153,8 @@ def _pack_tree(mins, maxs, skips, firsts, counts, p0, p1, p2, leaf_slots=8):
 
     if counts[0] > 0:  # whole (sub)tree is a single leaf
         root = np.int32(
-            -(int(padded_firsts[0]) * (1 << _LEAF_COUNT_BITS) + int(counts[0]) + 1)
+            -((int(padded_firsts[0]) >> 3) * (1 << _LEAF_COUNT_BITS)
+              + int(counts[0]) + 1)
         )
         nodes_f = np.zeros((1, 16), dtype=np.float32)
         return nodes_f, tris, root, slot_to_prim
@@ -235,7 +236,7 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
         def leaf_branch(carry):
             best_t, best_prim = carry
             code = -ref - 1
-            first = code >> _LEAF_COUNT_BITS
+            first = (code >> _LEAF_COUNT_BITS) << 3
             count = code & ((1 << _LEAF_COUNT_BITS) - 1)
             rows = [
                 tri_row((first >> 3) + r)  # [128]: 8 slots x 16 cols
@@ -367,7 +368,7 @@ def _walk_tree_fused(node_row, tri_row, root, rays, invs, octant, best,
     def leaf_test(ref, carry):
         best_t, best_prim = carry
         code = -ref - 1
-        first = code >> _LEAF_COUNT_BITS
+        first = (code >> _LEAF_COUNT_BITS) << 3
         count = code & ((1 << _LEAF_COUNT_BITS) - 1)
         rows = [
             tri_row((first >> 3) + r)

@@ -56,6 +56,7 @@ def main():
     out["config3_spread_ms"] = [round(x * 1e3, 1) for x in sorted(dts)]
     out["config3_img_sum"] = float(img.sum())
     out["config3_img_ok"] = bool(np.isfinite(img).all() and img.max() > 0)
+    print(json.dumps(out), flush=True)  # partial line: config5 may OOM in A/Bs
 
     # --- config 5 raw intersector ----------------------------------------
     from pbrt_tpu.accel.bvh import BVHIntersector

@@ -136,3 +136,83 @@ def test_mlt_media_target_is_volumetric():
     np.testing.assert_allclose(
         mlt[4:8, 4:8].mean(), vol[4:8, 4:8].mean(), rtol=0.2
     )
+
+
+def test_mlt_motion_blur():
+    """MLT shutter-time plumbing (VERDICT r4 item 6): the mutation
+    chain's pixel/time dims drive the same keyframe blend as the other
+    integrators — blurred MLT == averaged interpolated statics, and the
+    smear widens.  Mirrors test_motion_integrators._blur_check with
+    MLT-noise tolerances."""
+    from tests.test_motion_integrators import MOVE, SCENE, _quad_cols
+
+    def scene(motion):
+        return SCENE.format(
+            integ="mlt", media="", fogbox="", spp=8, motion=motion,
+            extra='"integer mutationsperpixel" 64',
+        )
+
+    def run(text):
+        api = PbrtAPI(Options(ray_batch=1 << 14), render_on_world_end=False)
+        api.init()
+        api.parse_string(text)
+        r = Renderer(api.scene, api.opt)
+        state = r.render(progress=False)
+        return np.asarray(r.film.to_rgb(state))
+
+    blurred = run(scene(MOVE))
+    assert np.isfinite(blurred).all()
+    acc = None
+    for i in range(2):
+        t = (i + 0.5) / 2
+        img = run(scene(f"Translate {1.5 * t} 0 0"))
+        acc = img if acc is None else acc + img
+    avg = acc / 2
+    np.testing.assert_allclose(blurred.mean(axis=1), avg.mean(axis=1),
+                               atol=0.1)
+    static0 = run(scene("Translate 0 0 0"))
+    row = blurred.shape[0] // 2
+    assert _quad_cols(blurred, row) >= _quad_cols(static0, row)
+
+
+SCATTER_FOG = """
+MakeNamedMedium "fog" "string type" "homogeneous"
+    "rgb sigma_a" [0.05 0.05 0.05] "rgb sigma_s" [0.35 0.35 0.35]
+    "float g" 0.3
+MediumInterface "" "fog"
+LookAt 0 0 4  0 0 0  0 1 0
+Camera "orthographic" "float screenwindow" [-1 1 -1 1]
+Sampler "halton" "integer pixelsamples" 24
+Integrator "{integ}" "integer maxdepth" 4 {extra}
+Film "image" "integer xresolution" [12] "integer yresolution" [12]
+WorldBegin
+LightSource "point" "rgb I" [12 12 12] "point from" [0 0 3]
+Material "matte" "rgb Kd" [0.6 0.6 0.6]
+Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+  "point P" [ -40 -40 0   40 -40 0   40 40 0   -40 40 0 ]
+WorldEnd
+"""
+
+
+def test_mlt_scattering_fog_matches_volpath():
+    """Beyond the r4 absorption-only pin: REAL in-scattering (sigma_s >
+    0, HG g=0.3, maxdepth 4 = multiple scattering) — equal-sample MLT
+    with the volumetric target must match volpath's fogged image, i.e.
+    the combined-target chains allocate adequate effort to the
+    volumetric strategies (VERDICT r4 item 6 measured route)."""
+
+    def run(integ, extra=""):
+        api = PbrtAPI(Options(ray_batch=1 << 14), render_on_world_end=False)
+        api.init()
+        api.parse_string(SCATTER_FOG.format(integ=integ, extra=extra))
+        r = Renderer(api.scene, api.opt)
+        state = r.render(progress=False)
+        return np.asarray(r.film.to_rgb(state))
+
+    vol = run("volpath")
+    mlt = run("mlt", '"integer mutationsperpixel" 96')
+    assert np.isfinite(mlt).all()
+    np.testing.assert_allclose(mlt.mean(), vol.mean(), rtol=0.15)
+    np.testing.assert_allclose(
+        mlt[4:8, 4:8].mean(), vol[4:8, 4:8].mean(), rtol=0.2
+    )

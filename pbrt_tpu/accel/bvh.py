@@ -356,10 +356,15 @@ class BVHIntersector:
         vector register in its loop state measured ~150x slower — so
         barycentrics are derived afterwards (compute_interaction).
         """
+        from pbrt_tpu.ops.sortnet import co_sort
+
         keys = self._sort_keys(o, d, t_max)
         n = keys.shape[0]
         lane = jnp.arange(n, dtype=jnp.int32)
-        srt = jax.lax.sort(
+        # hierarchical bitonic co-sort (ops/sortnet.py): the lax.sort
+        # network ran every stage at full HBM traffic; fusing the
+        # intra-block stages in VMEM roughly halves the per-sort cost
+        srt = co_sort(
             (keys, lane,
              o[:, 0], o[:, 1], o[:, 2],
              d[:, 0], d[:, 1], d[:, 2],
@@ -377,15 +382,22 @@ class BVHIntersector:
             )
             return jnp.zeros((n,), o.dtype), prim_out
         if t.dtype == jnp.float32:
+            # pack in INT space: bitcasting prim (-1 = 0xFFFFFFFF) into an
+            # f32 lane makes it a NaN payload that TPU float ops may
+            # canonicalize — measured on-chip: an all-miss wavefront came
+            # back with a phantom prim on every lane (the r4 ADVICE item,
+            # caught by the bench miss_roundtrip canary).  Int lanes are
+            # never canonicalized, and t is a genuine finite float whose
+            # bits round-trip exactly.
             packed = jnp.stack(
-                [t, jax.lax.bitcast_convert_type(prim, jnp.float32)], axis=-1
+                [jax.lax.bitcast_convert_type(t, jnp.int32), prim], axis=-1
             )
-            out = jnp.zeros((n, 2), jnp.float32).at[lane_s].set(
+            out = jnp.zeros((n, 2), jnp.int32).at[lane_s].set(
                 packed, unique_indices=True
             )
-            return out[:, 0], jax.lax.bitcast_convert_type(
-                out[:, 1], jnp.int32
-            )
+            return jax.lax.bitcast_convert_type(
+                out[:, 0], jnp.float32
+            ), out[:, 1]
         t_out = jnp.zeros((n,), t.dtype).at[lane_s].set(
             t, unique_indices=True
         )

@@ -478,7 +478,9 @@ class PathIntegrator:
                 # costs ~3 ms over a bare argsort, where the pack +
                 # [N,21]-row-gather formulation cost ~26 ms — TPU gathers
                 # run as a serial scalar loop, the sort network is vector.
-                srt = jax.lax.sort(
+                from pbrt_tpu.ops.sortnet import co_sort
+
+                srt = co_sort(
                     (keys,
                      L[:, 0], L[:, 1], L[:, 2],
                      beta[:, 0], beta[:, 1], beta[:, 2],

@@ -209,9 +209,14 @@ class BVHIntersector:
             )
             if use_pallas:
                 # packed Pallas kernels test whole leaf rows as dense vector
-                # ops; the streaming kernel packs 16-tri leaves (2 rows) —
-                # fatter leaves halve the scalar-bound interior walk
-                leaf_size = 16 if (use_stream or wide) else 8
+                # ops; the streaming kernel packs 32-tri leaves (4 rows) —
+                # the r5 roofline replay put 69% of wide-walk iterations at
+                # LEAVES, and 32-slot leaves measured 84.6 vs 88.0 ms on
+                # the 1M-tri sweep (leaf iterations halve, vector work per
+                # leaf doubles).  PBRT_TPU_LEAF_SLOTS overrides for A/Bs.
+                leaf_size = int(os.environ.get(
+                    "PBRT_TPU_LEAF_SLOTS", 32 if use_stream else 16
+                ))
             mins, maxs, skips, firsts, counts, perm = build_bvh(
                 tri_data.p0, tri_data.p1, tri_data.p2, leaf_size
             )

@@ -544,9 +544,12 @@ def pack_stream_tables(mins, maxs, skips, firsts, counts,
     n_prims = len(tri_p0)
     if target_tris is None:
         # big clusters: every (block, cluster) grid step costs ~0.6us
-        # of pipeline machinery, so fewer/fatter clusters win as long
-        # as two cluster buffers fit VMEM comfortably
-        target_tris = int(min(16384, max(4096, n_prims // 64)))
+        # of pipeline machinery and the candidate count per block drops
+        # with fatter clusters, so fewer/bigger wins while two cluster
+        # buffers fit VMEM.  r5 on-chip sweep (1M tris, 262k rays):
+        # 15625-tri clusters 98.0 ms, 24k 93.2, 32k 88.4, 49k 88.9,
+        # 65k 89.2, 98k = VMEM compile failure -> cap at 32k
+        target_tris = int(min(32768, max(4096, n_prims // 32)))
     clusters = split_clusters(skips, firsts, counts, n_prims, target_tris)
     skips = np.asarray(skips)
     firsts = np.asarray(firsts)

@@ -179,6 +179,7 @@ class Renderer:
         sample_bounds = film.get_sample_bounds()
         pixels = sample_bounds.offsets().astype(np.int32)  # [P,2]
         n_pix = len(pixels)
+        explicit_spp = spp  # caller-specified budget only, None otherwise
         spp = spp if spp is not None else self.sampler.samples_per_pixel
         if self.options.quick_render:
             spp = max(1, spp // 4)
@@ -189,7 +190,14 @@ class Renderer:
         n_chunks = -(-n_lanes // batch)
 
         if getattr(self.integrator, "custom_render", False):
-            return self.integrator.render(self, spp=spp, progress=progress)
+            # custom-budget integrators (MLT mutationsperpixel, SPPM
+            # numiterations) own their sample counts — the sampler's
+            # pixelsamples must NOT override them (r5 bug: the resolved
+            # spp silently replaced mutationsperpixel, making the scene
+            # parameter dead).  Only an EXPLICIT spp argument overrides.
+            return self.integrator.render(
+                self, spp=explicit_spp, progress=progress
+            )
 
         # --- checkpoint / resume (SURVEY §5: preemption recovery) --------
         ckpt_path = None

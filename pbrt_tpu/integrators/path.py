@@ -382,25 +382,9 @@ class PathIntegrator:
                 shadow_o = si["p"] + si["ng"] * SHADOW_EPS * jnp.sign(
                     jnp.sum(wi_w * si["ng"], axis=-1, keepdims=True)
                 )
-                # shadow wavefronts get their own sort even in sorted-carry
-                # mode: the carry order follows the BOUNCE direction, and
-                # shadow directions (toward sampled lights) diverge from it
-                # — measured r4 A/B: unsorted shadows cost MORE than the
-                # whole per-call co-sort (474 vs 508 ms/frame on config 3).
-                # PBRT_TPU_SC_NOSORT_SHADOW=1 restores the unsorted variant
-                # for A/B instrumentation.
                 import os as _os
 
-                shadow_sort = not self._sc or _os.environ.get(
-                    "PBRT_TPU_SC_NOSORT_SHADOW", "0"
-                ) in ("", "0")
-                occluded = self._occluded(
-                    shadow_o, wi_w,
-                    jnp.where(can, l_dist - 2 * SHADOW_EPS, 0.0),
-                    time,
-                    sort=shadow_sort,
-                )
-                vis = can & ~occluded
+                shadow_t = jnp.where(can, l_dist - 2 * SHADOW_EPS, 0.0)
                 if self.nee_mis:
                     w_l = jnp.where(
                         l_delta, 1.0, power_heuristic(1, l_pdf, 1, b_pdf)
@@ -416,7 +400,43 @@ class PathIntegrator:
                         ..., None
                     ]
                 )
-                L = L + jnp.where(vis[..., None], contrib, 0.0)
+                # Merged shadow+carry sort (r5): shadow rays at this bounce
+                # originate at the SAME points (si.p +- eps*ng) as the next
+                # bounce's rays, and the carry sort key is origin-Morton-
+                # major — so instead of paying a second full key-sort per
+                # bounce for the shadow wavefront, the shadow columns
+                # (origin, direction, t, premasked contribution) RIDE the
+                # carry co-sort and the occlusion sweep runs sort-free in
+                # next-bounce order.  Bit-identical: occlusion is a boolean
+                # any-hit (lane-order invariant) and the NEE add commutes
+                # with the permutation.  PBRT_TPU_SC_MERGED=0 restores the
+                # r4 per-call shadow sorts for A/B instrumentation.
+                merged = self._sc and _os.environ.get(
+                    "PBRT_TPU_SC_MERGED", "0"
+                ) not in ("", "0")
+                if merged and bounce < self.max_depth - 1:
+                    nee_cols = (
+                        shadow_o, wi_w, shadow_t,
+                        jnp.where(can[..., None], contrib, 0.0),
+                    )
+                else:
+                    # r4 behavior: shadow wavefronts get their own sort even
+                    # in sorted-carry mode (carry order follows the BOUNCE
+                    # direction; shadow directions diverge — measured r4
+                    # A/B with the binary walk: unsorted shadows cost MORE
+                    # than the per-call co-sort, 474 vs 508 ms/frame).
+                    # PBRT_TPU_SC_NOSORT_SHADOW=1 keeps them unsorted.
+                    nee_cols = None
+                    shadow_sort = not self._sc or _os.environ.get(
+                        "PBRT_TPU_SC_NOSORT_SHADOW", "0"
+                    ) in ("", "0")
+                    occluded = self._occluded(
+                        shadow_o, wi_w, shadow_t, time, sort=shadow_sort
+                    )
+                    vis = can & ~occluded
+                    L = L + jnp.where(vis[..., None], contrib, 0.0)
+            else:
+                nee_cols = None
 
             # --- BSDF sampling -------------------------------------------
             u_lobe = sampler.get(pixel_xy, sample_index, base + 3)
@@ -480,18 +500,27 @@ class PathIntegrator:
                 # run as a serial scalar loop, the sort network is vector.
                 from pbrt_tpu.ops.sortnet import co_sort
 
-                srt = co_sort(
-                    (keys,
-                     L[:, 0], L[:, 1], L[:, 2],
-                     beta[:, 0], beta[:, 1], beta[:, 2],
-                     prev_bsdf_pdf,
-                     prev_p[:, 0], prev_p[:, 1], prev_p[:, 2],
-                     o[:, 0], o[:, 1], o[:, 2],
-                     d[:, 0], d[:, 1], d[:, 2],
-                     pixel_xy[:, 0], pixel_xy[:, 1], sample_index,
-                     lane, flags),
-                    num_keys=1,
-                )
+                ops = (keys,
+                       L[:, 0], L[:, 1], L[:, 2],
+                       beta[:, 0], beta[:, 1], beta[:, 2],
+                       prev_bsdf_pdf,
+                       prev_p[:, 0], prev_p[:, 1], prev_p[:, 2],
+                       o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       pixel_xy[:, 0], pixel_xy[:, 1], sample_index,
+                       lane, flags)
+                if nee_cols is not None:
+                    # merged shadow+carry sort: the deferred NEE columns
+                    # (shadow o/d/t + premasked contribution) ride the same
+                    # network — +10 payload operands vs a second key-sort
+                    so, sw, st, pre = nee_cols
+                    ops = ops + (
+                        so[:, 0], so[:, 1], so[:, 2],
+                        sw[:, 0], sw[:, 1], sw[:, 2],
+                        st,
+                        pre[:, 0], pre[:, 1], pre[:, 2],
+                    )
+                srt = co_sort(ops, num_keys=1)
                 L = jnp.stack(srt[1:4], axis=-1)
                 beta = jnp.stack(srt[4:7], axis=-1)
                 prev_bsdf_pdf = srt[7]
@@ -505,6 +534,17 @@ class PathIntegrator:
                 alive = (flags & 1) != 0
                 specular_bounce = (flags & 2) != 0
                 gather_only = (flags & 4) != 0
+                if nee_cols is not None:
+                    so_s = jnp.stack(srt[22:25], axis=-1)
+                    sw_s = jnp.stack(srt[25:28], axis=-1)
+                    st_s = srt[28]
+                    pre_s = jnp.stack(srt[29:32], axis=-1)
+                    # occlusion sweep in next-bounce order: shadow origins
+                    # share the carry key's origin-Morton high bits exactly
+                    occluded = self._occluded(
+                        so_s, sw_s, st_s, time, sort=False
+                    )
+                    L = L + jnp.where(occluded[..., None], 0.0, pre_s)
 
         return (L, beta, alive, specular_bounce, gather_only, prev_bsdf_pdf,
                 prev_p, o, d, pixel_xy, sample_index, lane)

@@ -51,6 +51,12 @@ BLK = 2048
 _SUB = BLK // 128  # sublane rows per block
 _MIN_N = 1 << 15  # below this lax.sort wins (fewer stages, no padding)
 
+# XLA TPU sort operand cap: 22 total operands ran at 0.52 ms / 262k
+# lanes on v5e; 24 operands fell off the vectorized path and did not
+# finish ONE execution in 12 minutes (measured r5).  co_sort splits
+# wider calls into (key, lane)-prefixed groups under this cap.
+_XLA_SORT_MAX_OPS = 22
+
 _SIGN = np.int32(-0x80000000)
 
 
@@ -170,6 +176,27 @@ def co_sort(operands, num_keys=1, interpret=False):
     """
     key = operands[0]
     n = key.shape[0]
+    # XLA's TPU sort falls off its vectorized path somewhere between 22
+    # and 24 total operands (measured r5 on v5e: 22 ops = 0.52 ms at
+    # 262k lanes; 24 ops did not finish a single execution in 12 MINUTES
+    # — a silent >1000x cliff, originally hit by the merged shadow+carry
+    # experiment).  Above the cap, split the payload into groups and run
+    # one sort per group with (key, lane) as a two-key prefix: the pair
+    # is unique per lane, so every group applies the IDENTICAL
+    # permutation regardless of sort stability.
+    if num_keys == 1 and len(operands) > _XLA_SORT_MAX_OPS:
+        lane32 = jnp.arange(n, dtype=jnp.int32)
+        group = _XLA_SORT_MAX_OPS - 2  # (key, lane) ride every call
+        cols = list(operands[1:])
+        key_s = lane_s = None
+        outs = []
+        for s in range(0, len(cols), group):
+            part = jax.lax.sort(
+                (key, lane32) + tuple(cols[s:s + group]), num_keys=2
+            )
+            key_s, lane_s = part[0], part[1]
+            outs.extend(part[2:])
+        return (key_s,) + tuple(outs)
     use = (
         num_keys == 1
         and key.dtype == jnp.uint32

@@ -119,6 +119,27 @@ def test_sorted_carry_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_merged_shadow_sort_matches_per_call_sorts():
+    """r5 merged shadow+carry sort: the shadow wavefront rides the carry
+    co-sort (10 extra payload operands) instead of paying its own key-sort,
+    and the occlusion sweep runs sort-free in next-bounce order.  Occlusion
+    is a boolean any-hit (lane-order invariant) and the NEE add commutes
+    with the permutation, so the image must be bit-identical to the r4
+    per-call shadow-sort machinery."""
+    old = os.environ.get("PBRT_TPU_SC_MERGED")
+    img_merged = _render(disable_sc=False)  # default: merged ON
+    os.environ["PBRT_TPU_SC_MERGED"] = "0"
+    try:
+        img_percall = _render(disable_sc=False)
+    finally:
+        if old is None:
+            os.environ.pop("PBRT_TPU_SC_MERGED", None)
+        else:
+            os.environ["PBRT_TPU_SC_MERGED"] = old
+    assert np.isfinite(img_merged).all()
+    np.testing.assert_array_equal(img_merged, img_percall)
+
+
 def test_dead_bit_packing_does_not_change_image():
     """The dead-lane sort bit (wavefront compaction) only regroups
     packets; images must be identical with it disabled (measured on-chip:

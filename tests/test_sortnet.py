@@ -62,3 +62,22 @@ def test_cpu_fallback_matches_lax_sort():
     k_s, a_s = map(np.asarray, out)
     order = np.argsort(keys, kind="stable")
     assert (k_s == keys[order]).all()
+
+
+def test_wide_operand_split_consistent_permutation():
+    """>22 total operands: XLA's TPU sort falls off its vectorized path
+    (measured r5: 24 operands = >1000x slower).  co_sort splits such
+    calls into (key, lane)-prefixed groups; the two-key prefix is unique
+    per lane, so every group must apply the IDENTICAL permutation — i.e.
+    the stable-sort permutation — even with heavy key duplication."""
+    rng = np.random.default_rng(4)
+    n = 50000
+    keys = rng.integers(0, 64, n, dtype=np.uint32)  # heavy duplication
+    cols = [rng.normal(size=n).astype(np.float32) for _ in range(31)]
+    out = co_sort(
+        (jnp.asarray(keys),) + tuple(jnp.asarray(c) for c in cols)
+    )
+    order = np.argsort(keys, kind="stable")
+    assert (np.asarray(out[0]) == keys[order]).all()
+    for c, got in zip(cols, out[1:]):
+        assert (np.asarray(got) == c[order]).all()

@@ -62,6 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pbrt_tpu.ops.intersect import RAY_EPS
 from pbrt_tpu.ops.pallas_bvh import (
+    _INERT_T,
     BLOCK,
     BLOCK_LANE,
     BLOCK_SUB,
@@ -240,7 +241,7 @@ def _walk8(node_row, tri_row, root, rays, invs, signs, best, stack_ref,
             if any_hit:
                 # found lanes stop accepting and pulling boxes; all-found
                 # packets then drain the stack in cheap slab-fail steps
-                best_t = jnp.where(best_prim >= 0, 0.0, best_t)
+                best_t = jnp.where(best_prim >= 0, _INERT_T, best_t)
             zero = jnp.int32(0)
             trash = jnp.int32(_TRASH)
             return ((trash,) * WIDTH + (zero,) * WIDTH
@@ -360,6 +361,9 @@ def _wide_kernel(
     dy = dy_ref[...]
     dz = dz_ref[...]
     t0 = tmax_ref[...]
+    # dead lanes go fully inert (see pallas_bvh._INERT_T): best_t = 0
+    # still passed the slab test for origin-containing boxes
+    t0 = jnp.where(t0 <= RAY_EPS, _INERT_T, t0)
 
     def safe_inv(v):
         sign = jnp.where(v < 0.0, -1.0, 1.0)

@@ -40,6 +40,17 @@ BLOCK = BLOCK_SUB * BLOCK_LANE
 # bits (multiplier 2048) — a block past 2047 lanes would alias the fields
 assert BLOCK < 2048, "packed any_l/any_r reduction requires BLOCK < 2048"
 LEAF_SIZE = 4
+# Inert sentinel for lanes that must pull NO boxes (dead on entry, or
+# any-hit lanes that already found a hit).  best_t = 0 is NOT enough:
+# boxes containing the ray origin have t_near < 0 < best_t and still
+# pass the slab test, so a "terminated" lane kept pulling its whole
+# ancestor/overlap chain (measured r5).  Any real t_near is > -1e30
+# (safe_inv clamps to +-1e30 and scene extents are small), so -1e30
+# fails every slab and every `tt < best_t` leaf test.  Consumers mask
+# t by prim >= 0, and the streaming kernel's cross-cluster/shard t
+# reductions never see it (entry-inerting is scoped to the whole-tree
+# kernels; the found-lane write is any-hit only, where t is unused).
+_INERT_T = np.float32(-1e30)
 
 
 def _traverse_kernel(
@@ -59,6 +70,9 @@ def _traverse_kernel(
     dy = dy_ref[...]
     dz = dz_ref[...]
     t0 = tmax_ref[...]
+    # dead lanes (t_max <= eps) go fully inert instead of pulling their
+    # origin-containing boxes (see _INERT_T)
+    t0 = jnp.where(t0 <= RAY_EPS, _INERT_T, t0)
 
     def safe_inv(v):
         sign = jnp.where(v < 0.0, -1.0, 1.0)
@@ -247,6 +261,7 @@ def _ordered_kernel(
     dy = dy_ref[...]
     dz = dz_ref[...]
     t0 = tmax_ref[...]
+    t0 = jnp.where(t0 <= RAY_EPS, _INERT_T, t0)  # see _INERT_T
 
     def safe_inv(v):
         sign = jnp.where(v < 0.0, -1.0, 1.0)
@@ -326,7 +341,7 @@ def _ordered_kernel(
                 # found lanes stop accepting and pulling boxes; all-found
                 # packets then drain the stack in cheap root-fail steps —
                 # no per-iteration jnp.all() reduction
-                best_t = jnp.where(best_prim >= 0, 0.0, best_t)
+                best_t = jnp.where(best_prim >= 0, _INERT_T, best_t)
             # leaves always pop
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),

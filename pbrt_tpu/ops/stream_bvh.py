@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pbrt_tpu.ops.intersect import RAY_EPS
 from pbrt_tpu.ops.pallas_bvh import (
+    _INERT_T,
     BLOCK,
     BLOCK_LANE,
     BLOCK_SUB,
@@ -280,7 +281,7 @@ def _walk_tree(node_row, tri_row, root, rays, invs, octant, best, stack_ref,
                 # all-found packets terminate by draining the stack — no
                 # per-iteration jnp.all() reduction (callers of occluded
                 # read only prim)
-                best_t = jnp.where(best_prim >= 0, 0.0, best_t)
+                best_t = jnp.where(best_prim >= 0, _INERT_T, best_t)
             zero = jnp.int32(0)
             return (zero, zero, jnp.bool_(False), jnp.bool_(True),
                     best_t, best_prim)

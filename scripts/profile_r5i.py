@@ -71,114 +71,120 @@ def main():
     def dep(x, t):
         # value-preserving data dependency: t is a traversal t (finite,
         # < 1e30), so the predicate is always False and XLA cannot fold
-        return x + 0.0 * jnp.where(t > 1e30, 1.0, 0.0)
+        z = 0.0 * jnp.where(t > 1e30, 1.0, 0.0)
+        return x + (z[..., None] if x.ndim > t.ndim else z)
+
+    # R5I_SKIP_BASE=1 skips pieces 1-4 (already measured) and jumps to
+    # the interaction/shading/film pieces
+    skip_base = os.environ.get("R5I_SKIP_BASE", "0") not in ("", "0")
 
     # 1. carry co-sort (22 operands)
     from pbrt_tpu.ops.sortnet import co_sort
 
-    keys = jnp.asarray(
-        rng.integers(0, 2**31, n, dtype=np.int64).astype(np.uint32)
-    )
-    cols = tuple(
-        jnp.asarray(rng.standard_normal(n).astype(np.float32))
-        for _ in range(21)
-    )
+    if not skip_base:
+        keys = jnp.asarray(
+            rng.integers(0, 2**31, n, dtype=np.int64).astype(np.uint32)
+        )
+        cols = tuple(
+            jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            for _ in range(21)
+        )
 
-    def mk_sort(k_):
-        def f(kk, *cc):
-            for i in range(k_):
-                srt = co_sort((kk,) + cc, num_keys=1)
-                kk = srt[0] ^ jnp.uint32(i + 1)  # dep + re-randomize a bit
-                cc = srt[1:]
-            return srt
-        return f
+        def mk_sort(k_):
+            def f(kk, *cc):
+                for i in range(k_):
+                    srt = co_sort((kk,) + cc, num_keys=1)
+                    kk = srt[0] ^ jnp.uint32(i + 1)  # dep + re-randomize a bit
+                    cc = srt[1:]
+                return srt
+            return f
 
-    m, t1 = marginal(mk_sort, keys, *cols)
-    out["cosort22_marg_ms"] = round(m, 2)
-    out["dispatch_floor_ms"] = round(t1 - m, 2)
-    print(json.dumps(out), flush=True)
+        m, t1 = marginal(mk_sort, keys, *cols)
+        out["cosort22_marg_ms"] = round(m, 2)
+        out["dispatch_floor_ms"] = round(t1 - m, 2)
+        print(json.dumps(out), flush=True)
 
-    # 2. closest sweep
-    def mk_closest(k_):
-        def f(oo, dd, t):
-            h = None
-            for _ in range(k_):
-                h = itx.intersect(oo, dd, t, sort=False)
-                t = jnp.full((n,), 1e8, jnp.float32) + 0.0 * jnp.where(
-                    h["t"] > 1e30, 1.0, 0.0
-                )
-            return h["t"]
-        return f
+        # 2. closest sweep
+        def mk_closest(k_):
+            def f(oo, dd, t):
+                h = None
+                for _ in range(k_):
+                    h = itx.intersect(oo, dd, t, sort=False)
+                    t = jnp.full((n,), 1e8, jnp.float32) + 0.0 * jnp.where(
+                        h["t"] > 1e30, 1.0, 0.0
+                    )
+                return h["t"]
+            return f
 
-    m, _ = marginal(mk_closest, o, d, tm)
-    out["closest_marg_ms"] = round(m, 2)
+        m, _ = marginal(mk_closest, o, d, tm)
+        out["closest_marg_ms"] = round(m, 2)
 
-    # 3. any-hit sweep
-    def mk_anyhit(k_):
-        def f(oo, dd, t):
-            acc = jnp.zeros((n,), bool)
-            for _ in range(k_):
-                occ = itx.occluded(oo, dd, t, sort=False)
-                acc = acc ^ occ
-                t = jnp.full((n,), 1e8, jnp.float32) + 0.0 * jnp.where(
-                    occ, 0.0, 0.0
-                )
-            return acc
-        return f
+        # 3. any-hit sweep
+        def mk_anyhit(k_):
+            def f(oo, dd, t):
+                acc = jnp.zeros((n,), bool)
+                for _ in range(k_):
+                    occ = itx.occluded(oo, dd, t, sort=False)
+                    acc = acc ^ occ
+                    t = jnp.full((n,), 1e8, jnp.float32) + 0.0 * jnp.where(
+                        occ, 0.0, 0.0
+                    )
+                return acc
+            return f
 
-    m, _ = marginal(mk_anyhit, o, d, tm)
-    out["anyhit_marg_ms"] = round(m, 2)
-    print(json.dumps(out), flush=True)
+        m, _ = marginal(mk_anyhit, o, d, tm)
+        out["anyhit_marg_ms"] = round(m, 2)
+        print(json.dumps(out), flush=True)
 
-    # 4. packed row gather + row scatter + bool scatter
-    tbl = jnp.asarray(rng.standard_normal((n_tris + 2, 24)).astype(np.float32))
-    idx = jnp.asarray(np.sort(rng.integers(0, n_tris, n)).astype(np.int32))
-    lane = jnp.asarray(rng.permutation(n).astype(np.int32))
+        # 4. packed row gather + row scatter + bool scatter
+        tbl = jnp.asarray(rng.standard_normal((n_tris + 2, 24)).astype(np.float32))
+        idx = jnp.asarray(np.sort(rng.integers(0, n_tris, n)).astype(np.int32))
+        lane = jnp.asarray(rng.permutation(n).astype(np.int32))
 
-    def mk_gather(k_):
-        def f(tt, ii):
-            rr = None
-            for _ in range(k_):
-                rr = tt[ii]
-                ii = ii + jnp.where(rr[:, 0] > 1e30, 1, 0)
-            return rr
-        return f
+        def mk_gather(k_):
+            def f(tt, ii):
+                rr = None
+                for _ in range(k_):
+                    rr = tt[ii]
+                    ii = ii + jnp.where(rr[:, 0] > 1e30, 1, 0)
+                return rr
+            return f
 
-    m, _ = marginal(mk_gather, tbl, idx)
-    out["rowgather_marg_ms"] = round(m, 2)
+        m, _ = marginal(mk_gather, tbl, idx)
+        out["rowgather_marg_ms"] = round(m, 2)
 
-    rows2 = jnp.asarray(rng.integers(0, 100, (n, 2)).astype(np.int32))
+        rows2 = jnp.asarray(rng.integers(0, 100, (n, 2)).astype(np.int32))
 
-    def mk_scatter2(k_):
-        def f(rr, ll):
-            s = None
-            for _ in range(k_):
-                s = jnp.zeros((n, 2), jnp.int32).at[ll].set(
-                    rr, unique_indices=True
-                )
-                rr = rr + jnp.where(s[:, :1] > 2**30, 1, 0)
-            return s
-        return f
+        def mk_scatter2(k_):
+            def f(rr, ll):
+                s = None
+                for _ in range(k_):
+                    s = jnp.zeros((n, 2), jnp.int32).at[ll].set(
+                        rr, unique_indices=True
+                    )
+                    rr = rr + jnp.where(s[:, :1] > 2**30, 1, 0)
+                return s
+            return f
 
-    m, _ = marginal(mk_scatter2, rows2, lane)
-    out["rowscatter2_marg_ms"] = round(m, 2)
+        m, _ = marginal(mk_scatter2, rows2, lane)
+        out["rowscatter2_marg_ms"] = round(m, 2)
 
-    bits = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+        bits = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
 
-    def mk_scatterb(k_):
-        def f(bb, ll):
-            s = None
-            for _ in range(k_):
-                s = jnp.full((n,), -1, jnp.int32).at[ll].set(
-                    bb, unique_indices=True
-                )
-                bb = bb + jnp.where(s > 2**30, 1, 0)
-            return s
-        return f
+        def mk_scatterb(k_):
+            def f(bb, ll):
+                s = None
+                for _ in range(k_):
+                    s = jnp.full((n,), -1, jnp.int32).at[ll].set(
+                        bb, unique_indices=True
+                    )
+                    bb = bb + jnp.where(s > 2**30, 1, 0)
+                return s
+            return f
 
-    m, _ = marginal(mk_scatterb, bits, lane)
-    out["scatter1_marg_ms"] = round(m, 2)
-    print(json.dumps(out), flush=True)
+        m, _ = marginal(mk_scatterb, bits, lane)
+        out["scatter1_marg_ms"] = round(m, 2)
+        print(json.dumps(out), flush=True)
 
     # 5. interaction + shading math
     from pbrt_tpu.scene.builder import compute_interaction

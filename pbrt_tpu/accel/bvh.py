@@ -309,34 +309,43 @@ class BVHIntersector:
         an all-dead packet exits traversal after one root test, so bounce
         compaction falls out of the sort instead of a gather/scatter pass.
         """
+        import os as _os
+
+        # Key bit budget (31 bits: origin Morton | octant | direction
+        # Morton).  The 5/4 bits-per-axis default is tuned for
+        # shared-origin wavefronts; PBRT_TPU_KEY_OBITS re-balances for
+        # A/B on surface-origin bounce wavefronts (r5: the packet union
+        # on those is ~80% of the frame).
+        obits = int(_os.environ.get("PBRT_TPU_KEY_OBITS", "5"))
+        dbits = min(4, (28 - 3 * obits) // 3)
         octant = (
             (d[..., 0] < 0).astype(jnp.uint32) * 4
             + (d[..., 1] < 0).astype(jnp.uint32) * 2
             + (d[..., 2] < 0).astype(jnp.uint32)
         )
-        # direction Morton: 4 bits/axis of |d| (octant already holds signs)
+        # direction Morton: dbits/axis of |d| (octant already holds signs)
         ad = jnp.abs(d)
         qd = jnp.clip(ad / jnp.maximum(
             jnp.max(ad, axis=-1, keepdims=True), 1e-12
         ), 0.0, 0.999999)
-        qdi = (qd * 16.0).astype(jnp.uint32)
+        qdi = (qd * float(1 << dbits)).astype(jnp.uint32)
         dir_m = (
             self._part1by2(qdi[..., 0])
             | (self._part1by2(qdi[..., 1]) << 1)
             | (self._part1by2(qdi[..., 2]) << 2)
-        ) & jnp.uint32(0xFFF)
+        ) & jnp.uint32((1 << (3 * dbits)) - 1)
         q = jnp.clip(
             (o - self._scene_min) / self._scene_extent, 0.0, 0.999999
         )
-        qi = (q * 32.0).astype(jnp.uint32)  # 5 bits per axis
+        qi = (q * float(1 << obits)).astype(jnp.uint32)
         morton = (
             self._part1by2(qi[..., 0])
             | (self._part1by2(qi[..., 1]) << 1)
             | (self._part1by2(qi[..., 2]) << 2)
-        ) & jnp.uint32(0x7FFF)
+        ) & jnp.uint32((1 << (3 * obits)) - 1)
         # origin-major: coincident-origin wavefronts (camera, point-light
         # shadows) have equal high bits and fall through to direction bits
-        key = (morton << 15) | (octant << 12) | dir_m
+        key = (morton << (3 + 3 * dbits)) | (octant << (3 * dbits)) | dir_m
         if t_max is not None:
             import os
 

@@ -19,7 +19,7 @@ CAUSTIC = """
 LookAt 0 2.2 3.2  0 0.4 0  0 1 0
 Camera "perspective" "float fov" 45
 Sampler "halton" "integer pixelsamples" 8
-Integrator "{integ}" "integer maxdepth" 4
+Integrator "{integ}" "integer maxdepth" 4 {extra}
 Film "image" "integer xresolution" [24] "integer yresolution" [24]
 WorldBegin
 LightSource "point" "rgb I" [40 40 40] "point from" [0 3.0 0]
@@ -39,12 +39,17 @@ _CACHE = {}
 
 
 def _render(integ):
-    # renders shared across tests (the suite runs on 2-core CPU boxes)
+    # renders shared across tests (the suite runs on 2-core CPU boxes).
+    # MLT's mutation budget is pinned to the sampler's 8 spp: now that
+    # mutationsperpixel is honored (r5, render.py custom_render fix) the
+    # default 32 would 4x this test's runtime — and the region/b
+    # tolerances below were calibrated at the 8-mutation budget.
     if integ in _CACHE:
         return _CACHE[integ]
+    extra = '"integer mutationsperpixel" 8' if integ == "mlt" else ""
     api = PbrtAPI(Options(ray_batch=1 << 15), render_on_world_end=False)
     api.init()
-    api.parse_string(CAUSTIC.format(integ=integ))
+    api.parse_string(CAUSTIC.format(integ=integ, extra=extra))
     r = Renderer(api.scene, api.opt)
     state = r.render(progress=False)
     _CACHE[integ] = (np.asarray(r.film.to_rgb(state)), r)

@@ -108,6 +108,9 @@ def main():
     nu = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     nv = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     sample_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+    # production config-5 parameters (accel/bvh.py): 32-slot leaves for
+    # the streaming path, default cluster target (~31k tris at 1M)
+    leaf_slots = int(os.environ.get("PBRT_TPU_LEAF_SLOTS", "32"))
     from pbrt_tpu.accel.bvh import build_bvh
     from pbrt_tpu.ops.stream_bvh import pack_stream_tables
     from pbrt_tpu.testscenes import torus_triangle_data
@@ -115,11 +118,12 @@ def main():
 
     td = torus_triangle_data(nu, nv)
     mins, maxs, skips, firsts, counts, perm = build_bvh(
-        td.p0, td.p1, td.p2, 16
+        td.p0, td.p1, td.p2, leaf_slots
     )
     t = pack_stream_tables(
         mins, maxs, skips, firsts, counts,
-        td.p0[perm], td.p1[perm], td.p2[perm], leaf_slots=16, wide=True,
+        td.p0[perm], td.p1[perm], td.p2[perm], leaf_slots=leaf_slots,
+        wide=True,
     )
     nodes, tris = t["nodes"], t["tris"]
     roots, cl_min, cl_max = t["roots"], t["cl_min"], t["cl_max"]
